@@ -1,0 +1,270 @@
+"""Golden RDS symbol/bit/frame chain (numpy).
+
+The RDS (Radio Data System) back end decodes the 57 kHz BPSK sub-carrier:
+RRC-filtered soft symbols -> clock/data recovery -> Manchester decode ->
+differential decode -> frame synchronization against the RDS block code
+(26-bit blocks = 16 info + 10 check bits, offset words A/B/C/C'/D).
+
+Reference: model/fmSupportLib.py —
+  CDR :103-201, manchestering :203-220, symbolToBit :222-230,
+  diff_decoding :241-249, matrixMult (GF(2)) :14-27, framesync :30-100.
+
+This layer is host-side by design (SURVEY.md section 7 step 5): the symbol
+rate is 2375 S/s, ~micro-scale work, while everything at IF rate and above
+runs on the TPU.  The GF(2) syndrome computation is nevertheless exposed as a
+batched matrix product so the TPU path can compute all sliding-window
+syndromes in one int32 matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# 26x10 parity-check matrix of the RDS shortened cyclic block code, laid out
+# for s = window(26) @ H (mod 2) on the received bit window
+# (model/fmSupportLib.py:32-57; the matrix itself is RDS-spec data).
+PARITY_MATRIX = np.array([
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 1, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 1, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 1, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 1, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 1, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 1],
+    [1, 0, 1, 1, 0, 1, 1, 1, 0, 0],
+    [0, 1, 0, 1, 1, 0, 1, 1, 1, 0],
+    [0, 0, 1, 0, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 0, 0, 0, 1, 1, 1],
+    [1, 1, 1, 0, 0, 1, 1, 1, 1, 1],
+    [1, 1, 0, 0, 0, 1, 0, 0, 1, 1],
+    [1, 1, 0, 1, 0, 1, 0, 1, 0, 1],
+    [1, 1, 0, 1, 1, 1, 0, 1, 1, 0],
+    [0, 1, 1, 0, 1, 1, 1, 0, 1, 1],
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 1],
+    [1, 1, 1, 1, 0, 1, 1, 1, 0, 0],
+    [0, 1, 1, 1, 1, 0, 1, 1, 1, 0],
+    [0, 0, 1, 1, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 1, 0, 0, 1, 1, 1],
+    [1, 1, 1, 0, 0, 0, 1, 1, 1, 1],
+    [1, 1, 0, 0, 0, 1, 1, 0, 1, 1],
+], dtype=np.int64)
+
+# Offset-word syndromes (model/fmSupportLib.py:65-90).
+SYNDROMES = {
+    "A":      np.array([1, 1, 1, 1, 0, 1, 1, 0, 0, 0], dtype=np.int64),
+    "B":      np.array([1, 1, 1, 1, 0, 1, 0, 1, 0, 0], dtype=np.int64),
+    "C":      np.array([1, 0, 0, 1, 0, 1, 1, 1, 0, 0], dtype=np.int64),
+    "C_apos": np.array([1, 1, 1, 1, 0, 0, 1, 1, 0, 0], dtype=np.int64),
+    "D":      np.array([1, 0, 0, 1, 0, 1, 1, 0, 0, 0], dtype=np.int64),
+}
+
+# Canonical RDS block sequence within a group.
+OFFSET_SEQUENCE = ("A", "B", "C", "D")
+
+
+def gf2_syndrome(bits: np.ndarray) -> np.ndarray:
+    """Syndromes of one or many 26-bit windows: (..., 26) @ (26, 10) mod 2.
+
+    The reference computes this bit-by-bit (model/fmSupportLib.py:14-27);
+    as a batched integer matmul it is one MXU op for every window at once.
+    """
+    bits = np.asarray(bits, dtype=np.int64)
+    return (bits @ PARITY_MATRIX) % 2
+
+
+def sliding_syndromes(bits: np.ndarray) -> np.ndarray:
+    """Syndromes of every 26-bit sliding window of a bit vector:
+    output shape (len(bits) - 25, 10)."""
+    n = len(bits) - 25
+    if n <= 0:
+        return np.zeros((0, 10), dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.asarray(bits, dtype=np.int64), 26)
+    return gf2_syndrome(win)
+
+
+@dataclasses.dataclass
+class FrameSyncResult:
+    matches: list[tuple[int, str]]  # (start bit index, offset type)
+    consumed: int                   # bits consumed from the stream
+    last_offset: str                # last matched offset type ('' if none)
+
+
+def frame_sync(bits: np.ndarray) -> FrameSyncResult:
+    """Sliding 26-bit syndrome search (ref: model/fmSupportLib.py:30-100).
+
+    Walks the stream one bit at a time; on a syndrome match the cursor jumps
+    a whole block.  Divergence from the reference, documented: the reference
+    returns only the *last* offset type and consumes ``n+26`` bits even when
+    the scan slid past the last match (losing un-examined bits,
+    model/fmSupportLib.py:94-98).  We return every match and consume only up
+    to the end of the last matched block (or keep a 25-bit tail when nothing
+    matched) so no data is dropped.
+    """
+    bits = np.asarray(bits)
+    synd = sliding_syndromes(bits)
+    keys = list(SYNDROMES.keys())
+    table = np.stack([SYNDROMES[k] for k in keys])          # (5, 10)
+    # match[n] = index into keys, or -1
+    eq = (synd[:, None, :] == table[None, :, :]).all(-1)     # (N, 5)
+    match = np.where(eq.any(1), eq.argmax(1), -1)
+
+    matches: list[tuple[int, str]] = []
+    n = 0
+    consumed = 0
+    while n < len(match):
+        m = match[n]
+        if m >= 0:
+            matches.append((n, keys[m]))
+            n += 26
+            consumed = n
+        else:
+            n += 1
+    if not matches:
+        consumed = max(0, len(bits) - 25)
+    return FrameSyncResult(matches, consumed,
+                           matches[-1][1] if matches else "")
+
+
+# ---------------------------------------------------------------------------
+# Symbol-level decode
+# ---------------------------------------------------------------------------
+
+def manchester_decode(samples: np.ndarray) -> np.ndarray:
+    """Pairwise Manchester decode: (L,H)->0, (H,L)->1, degenerate pairs -> 0
+    (ref: model/fmSupportLib.py:203-220; odd trailing sample dropped)."""
+    n = len(samples) // 2
+    a = samples[: 2 * n : 2]
+    b = samples[1 : 2 * n : 2]
+    return ((a > 0) & (b < 0)).astype(np.int64)
+
+
+def diff_decode(bits: np.ndarray, prev_bit: int | None = None) -> np.ndarray:
+    """Differential decode: out[i] = bits[i] XOR bits[i-1]; the first output
+    is bits[0] itself when no previous bit is carried
+    (ref: model/fmSupportLib.py:241-249)."""
+    bits = np.asarray(bits, dtype=np.int64)
+    if len(bits) == 0:
+        return bits
+    first = bits[0] if prev_bit is None else bits[0] ^ int(prev_bit)
+    return np.concatenate([[first], bits[1:] ^ bits[:-1]])
+
+
+def _symbol_to_bit(prev_sample: float) -> int:
+    """Bit carried by a (prev, cur) symbol pair is the sign of the first
+    sample (ref: model/fmSupportLib.py:222-230)."""
+    return 1 if prev_sample > 0 else 0
+
+
+@dataclasses.dataclass
+class CdrState:
+    """Inter-block CDR carry (ref: to_pass_on_state, model/fmSupportLib.py:104-106)."""
+
+    pair_prev: float = 0.0   # last sampling point of the previous block
+    start: int = 0           # sampling grid offset into the next block
+    prev_size: int = 0       # number of sampling points taken last block
+
+
+def cdr(x: np.ndarray, sps: int, state: CdrState,
+        block_count: int) -> tuple[np.ndarray, CdrState]:
+    """Clock/data recovery, faithful to the reference algorithm
+    (model/fmSupportLib.py:103-201).
+
+    Samples the RRC output every ``sps`` samples from ``state.start``;
+    flips the third of three consecutive same-sign samples; repairs
+    "irregular" same-sign Manchester pairs by inverting whichever sample is
+    below ``limit`` in magnitude, and when neither is, restarts the whole
+    sampling grid one ``sps`` later (emitting a cross-pair bit).  Returns the
+    decoded Manchester bits for this block and the carried state.
+    """
+    limit = 0.3
+    start = state.start
+    entry_start = state.start
+    pair_prev = state.pair_prev
+    emitted: list[int] = []
+
+    while True:
+        # --- sampling pass ---------------------------------------------
+        spa = np.zeros(len(x))
+        size = 0
+        i = start
+        first_special_done = False
+        while i < len(x):
+            if (i == start and start == entry_start
+                    and state.prev_size % 2 == 1 and not first_special_done):
+                # pair the dangling last sample of the previous block
+                emitted.append(_symbol_to_bit(pair_prev))
+                pair_prev = x[i]
+                start = start + sps
+                first_special_done = True
+                i += sps
+                continue
+            v = x[i]
+            if i >= start + 2 * sps:
+                a, b = spa[i - 2 * sps], spa[i - sps]
+                if (a > 0 and b > 0 and v > 0) or (a < 0 and b < 0 and v < 0):
+                    v = -v
+            spa[i] = v
+            size += 1
+            i += sps
+
+        samples = spa[start::sps][:size].copy()
+
+        # --- irregular-pair repair -------------------------------------
+        restart = False
+        for j in range(0, len(samples) - 1, 2):
+            a, b = samples[j], samples[j + 1]
+            if (a < 0 and b < 0) or (a > 0 and b > 0):
+                if abs(a) < limit:
+                    samples[j] = -a
+                elif abs(b) < limit:
+                    samples[j + 1] = -b
+                else:
+                    start = start + sps
+                    if block_count != 0:
+                        emitted.append(_symbol_to_bit(pair_prev))
+                        pair_prev = samples[0]
+                    restart = True
+                    break
+        if not restart:
+            break
+
+    new_state = CdrState(
+        pair_prev=float(samples[-1]) if len(samples) else pair_prev,
+        start=sps - (len(x) - (((size - 1) * sps) + start)),
+        prev_size=size,
+    )
+    bits = np.concatenate([
+        np.asarray(emitted, dtype=np.int64),
+        manchester_decode(samples),
+    ])
+    return bits, new_state
+
+
+def cdr_robust(x: np.ndarray, sps: int, phase: int | None = None,
+               parity: int | None = None) -> tuple[np.ndarray, int, int]:
+    """Vectorized, restart-free CDR used by the production TPU path.
+
+    Picks the sampling phase maximizing mean |soft symbol| (the RRC output
+    peaks at symbol centers), then picks the Manchester pairing parity that
+    maximizes sign alternation within pairs.  Returns (bits, phase, parity).
+    Unlike the reference algorithm this has no data-dependent restart loop,
+    so the symbol sampling itself can run on-device.
+    """
+    x = np.asarray(x)
+    if phase is None:
+        energies = [np.abs(x[p::sps]).mean() for p in range(sps)]
+        phase = int(np.argmax(energies))
+    s = x[phase::sps]
+    if parity is None:
+        n2 = (len(s) - 1) // 2
+        alt0 = np.mean(np.sign(s[0:2 * n2:2]) != np.sign(s[1:2 * n2:2]))
+        alt1 = np.mean(np.sign(s[1:1 + 2 * n2:2]) != np.sign(s[2:2 + 2 * n2:2]))
+        parity = 0 if alt0 >= alt1 else 1
+    s = s[parity:]
+    return manchester_decode(s), phase, parity

@@ -1,0 +1,23 @@
+"""Test configuration.
+
+JAX runs on CPU with 8 virtual devices so multi-chip sharding logic
+(mesh/pjit/shard_map/ppermute) is exercised without TPU hardware; the driver
+separately compile-checks the real-TPU path via __graft_entry__.py.
+Must run before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
