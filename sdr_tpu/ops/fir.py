@@ -1,0 +1,144 @@
+"""Streaming FIR kernels as XLA convolutions.
+
+The reference's four convolution variants (src/filter.cpp:118-223) collapse
+into one primitive: ``lax.conv_general_dilated`` with
+
+* ``window_strides=D``  — decimation (convolveBlockFastFIR),
+* ``lhs_dilation=U``    — zero-stuffing upsampling (convolveBlockResampleFIR),
+
+plus the overlap-save state convention (the trailing ``taps-1`` inputs,
+src/filter.cpp:148-153).  For the rational resampler the default
+implementation is a *phase-gathered window product*: because block length,
+U, D and taps are static, the (output, tap) -> (input index, coefficient)
+maps are compile-time constants, so the whole resampler is one gather + one
+fused multiply-reduce of exactly n_out * ceil(K/U) MACs — the polyphase
+minimum — with no zero-stuffed intermediate.
+
+The polyphase gain convention is the Python model's xU
+(model/fmSupportLib.py:399), not the C++ x(U+1) divergence
+(src/filter.cpp:213) — see SURVEY.md section 2.5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def resample_state_len(n_taps: int, upsamp: int) -> int:
+    """Natural-domain resampler state length: ceil(taps/U) - 1."""
+    return _cdiv(n_taps, upsamp) - 1
+
+
+def _conv1d(xc: jnp.ndarray, h_rev: jnp.ndarray, stride: int,
+            lhs_dilation: int = 1,
+            padding: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    """Batched-capable 1D correlation via conv_general_dilated.
+
+    ``xc`` may be (..., N); leading dims are treated as batch.
+    """
+    lead = xc.shape[:-1]
+    lhs = xc.reshape((-1, 1, xc.shape[-1]))
+    rhs = h_rev.reshape((1, 1, -1)).astype(xc.dtype)
+    y = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(stride,),
+        padding=[padding],
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        # full fp32 accumulation: the TPU default (bf16-grade passes) costs
+        # ~1e-3 relative error, too coarse for the 1e-3-RMS parity target
+        precision=lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def fir_block(x: jnp.ndarray, h: jnp.ndarray,
+              state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming FIR, unit stride (ref: src/filter.cpp:133-154)."""
+    return fir_block_decim(x, h, state, 1)
+
+
+def fir_block_decim(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
+                    decim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming decimating FIR (ref: src/filter.cpp:158-188).
+
+    y[j] = sum_n h[n] * xc[K-1 + j*decim - n], xc = [state, x].
+    ``x``/``state`` may carry leading batch dims.
+    """
+    k = h.shape[0]
+    n = x.shape[-1]
+    assert n % decim == 0, (n, decim)
+    xc = jnp.concatenate([state, x], axis=-1)
+    y = _conv1d(xc, h[::-1], decim)[..., : n // decim]
+    new_state = xc[..., xc.shape[-1] - (k - 1):]
+    return y, new_state
+
+
+@functools.lru_cache(maxsize=64)
+def _resample_maps(n_in: int, n_taps: int, decim: int,
+                   upsamp: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compile-time (input-window index, coefficient-selector index) maps for
+    the phase-gathered resampler.  Returns (xidx (n_out, T), nidx (n_out, T))
+    where nidx entries >= n_taps mark taps beyond the filter (zero coeff)."""
+    t = _cdiv(n_taps, upsamp)
+    n_out = n_in * upsamp // decim
+    j = np.arange(n_out)
+    m = j * decim
+    p = m % upsamp
+    q = (m - p) // upsamp + (t - 1)
+    r = np.arange(t)
+    nidx = p[:, None] + r[None, :] * upsamp     # tap index (may exceed K-1)
+    xidx = q[:, None] - r[None, :]              # index into xc
+    return xidx, nidx
+
+
+def fir_block_resample(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
+                       decim: int, upsamp: int,
+                       use_conv: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming polyphase rational resampler, xU gain
+    (ref: model/fmSupportLib.py:388-406; state convention per
+    sdr_tpu.golden.filters.block_fir_resample).
+    """
+    k = h.shape[0]
+    t = _cdiv(k, upsamp)
+    n = x.shape[-1]
+    n_out = n * upsamp // decim
+    assert n_out * decim == n * upsamp, "block length must divide evenly"
+    xc = jnp.concatenate([state, x], axis=-1)
+
+    if use_conv:
+        pad_lo = k - 1 - upsamp * (t - 1)
+        dilated = upsamp * (xc.shape[-1] - 1) + 1
+        pad_hi = max((n_out - 1) * decim + k - pad_lo - dilated, 0)
+        y = _conv1d(xc, h[::-1] * upsamp, decim, lhs_dilation=upsamp,
+                    padding=(pad_lo, pad_hi))[..., :n_out]
+    else:
+        xidx, nidx = _resample_maps(n, k, decim, upsamp)
+        hsel = np.where(nidx < k, np.asarray(h)[np.minimum(nidx, k - 1)], 0.0)
+        hsel = jnp.asarray(hsel * upsamp, dtype=x.dtype)     # (n_out, T)
+        xwin = xc[..., jnp.asarray(xidx)]                    # (..., n_out, T)
+        y = jnp.einsum("...ot,ot->...o", xwin, hsel,
+                       preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST).astype(x.dtype)
+
+    new_state = xc[..., xc.shape[-1] - (t - 1):] if t > 1 else xc[..., :0]
+    return y, new_state
+
+
+def allpass_delay(x: jnp.ndarray,
+                  state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure delay by len(state) samples (ref: model/fmSupportLib.py:291-295)."""
+    d = state.shape[-1]
+    y = jnp.concatenate([state, x[..., : x.shape[-1] - d]], axis=-1)
+    new_state = x[..., x.shape[-1] - d:]
+    return y, new_state

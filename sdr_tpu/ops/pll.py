@@ -1,0 +1,105 @@
+"""PLL + NCO as a lax.scan recurrence.
+
+Reference: fmPll (model/fmSupportLib.py:297-353, src/filter.cpp:32-80) — a
+second-order type-2 PLL whose per-sample recurrence is inherently
+sequential (SURVEY.md "hard parts" #1).  On TPU we express it as
+``lax.scan``; XLA compiles the body once and loops on-device.
+
+Numerical design choice vs the reference: the reference accumulates
+``trigOffset`` (sample count) and ``phaseEst`` without bound and evaluates
+``cos(2*pi*f/fs*trigOffset + phaseEst)`` — in float32 that loses phase
+precision after ~1e7 samples.  We carry the oscillator phase and phase
+estimate *wrapped* modulo ``2*pi*q`` where ``q`` is the smallest integer
+making ``q * nco_scale`` integral, which leaves every emitted cos/sin (both
+the x1 feedback and the x``nco_scale`` output tap) bit-identical in exact
+arithmetic while keeping the carried phase O(1).  State layout therefore
+differs from the reference's 7-vector but carries the same information.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Loop-filter constants for damping 1/sqrt(2) (model/fmSupportLib.py:303-309).
+_CP = 2.666
+_CI = 3.555
+
+
+class PllParams(NamedTuple):
+    freq: float
+    fs: float
+    nco_scale: float = 2.0
+    phase_adjust: float = 0.0
+    norm_bandwidth: float = 0.01
+
+    @property
+    def wrap_modulus(self) -> float:
+        q = 1
+        while (q * self.nco_scale) % 1.0 != 0.0:
+            q += 1
+            if q > 64:
+                raise ValueError(f"nco_scale {self.nco_scale} not rational "
+                                 "with small denominator")
+        return 2.0 * jnp.pi * q
+
+
+class PllState(NamedTuple):
+    integrator: jnp.ndarray
+    phase_est: jnp.ndarray   # wrapped mod M
+    osc_phase: jnp.ndarray   # wrapped 2*pi*f/fs * trigOffset, mod M
+    feedback_i: jnp.ndarray
+    feedback_q: jnp.ndarray
+    nco_last: jnp.ndarray
+    nco_q_last: jnp.ndarray
+
+
+def pll_init(nco_last: float = 1.0, nco_q_last: float = 0.0,
+             dtype=jnp.float32) -> PllState:
+    """Initial state matching the reference's [0,0,1,0,1,0,(q0)]
+    (model/stereo.py:135, model/fmRDS.py:173)."""
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    return PllState(f(0.0), f(0.0), f(0.0), f(1.0), f(0.0),
+                    f(nco_last), f(nco_q_last))
+
+
+def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
+              ) -> tuple[jnp.ndarray, jnp.ndarray, PllState]:
+    """Run the PLL over one block.
+
+    Returns (nco_i, nco_q, new_state); the NCO arrays have ``len(x)+1``
+    entries with index 0 the carried previous output, so downstream mixers
+    use ``nco[:-1]`` exactly like the reference (model/stereo.py:226).
+    """
+    kp = params.norm_bandwidth * _CP
+    ki = params.norm_bandwidth * params.norm_bandwidth * _CI
+    w = 2.0 * jnp.pi * params.freq / params.fs
+    m = params.wrap_modulus
+    scale = params.nco_scale
+    adj = params.phase_adjust
+
+    def step(carry, xk):
+        integ, phase, psi, fb_i, fb_q = carry
+        err = jnp.arctan2(xk * (-fb_q), xk * fb_i)
+        integ = integ + ki * err
+        phase = jnp.mod(phase + kp * err + integ, m)
+        psi = jnp.mod(psi + w, m)
+        arg = psi + phase
+        fb_i = jnp.cos(arg)
+        fb_q = jnp.sin(arg)
+        out_i = jnp.cos(arg * scale + adj)
+        out_q = jnp.sin(arg * scale + adj)
+        return (integ, phase, psi, fb_i, fb_q), (out_i, out_q)
+
+    carry0 = (state.integrator, state.phase_est, state.osc_phase,
+              state.feedback_i, state.feedback_q)
+    carry, (outs_i, outs_q) = lax.scan(step, carry0, x)
+
+    nco_i = jnp.concatenate([state.nco_last[None], outs_i])
+    nco_q = jnp.concatenate([state.nco_q_last[None], outs_q])
+    new_state = PllState(carry[0], carry[1], carry[2], carry[3], carry[4],
+                         nco_i[-1], nco_q[-1])
+    return nco_i, nco_q, new_state

@@ -3,16 +3,23 @@
 JAX runs on CPU with 8 virtual devices so multi-chip sharding logic
 (mesh/pjit/shard_map/ppermute) is exercised without TPU hardware; the driver
 separately compile-checks the real-TPU path via __graft_entry__.py.
-Must run before the first jax import.
+
+Note: this environment pre-imports jax at interpreter startup (axon
+sitecustomize) and pins JAX_PLATFORMS=axon, so plain env vars are too late —
+we must force the platform through jax.config before any backend
+initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
