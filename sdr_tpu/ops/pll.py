@@ -73,6 +73,11 @@ def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
     Returns (nco_i, nco_q, new_state); the NCO arrays have ``len(x)+1``
     entries with index 0 the carried previous output, so downstream mixers
     use ``nco[:-1]`` exactly like the reference (model/stereo.py:226).
+
+    ``x`` may carry leading batch dims (..., N) — e.g. a channel batch — in
+    which case every state leaf has shape (...) and the scan runs all
+    channels in lockstep (the recurrences are independent, so the batch
+    vectorizes on the VPU).
     """
     kp = params.norm_bandwidth * _CP
     ki = params.norm_bandwidth * params.norm_bandwidth * _CI
@@ -96,10 +101,13 @@ def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
 
     carry0 = (state.integrator, state.phase_est, state.osc_phase,
               state.feedback_i, state.feedback_q)
-    carry, (outs_i, outs_q) = lax.scan(step, carry0, x)
+    xs = jnp.moveaxis(x, -1, 0)  # scan over time, batch dims vectorize
+    carry, (outs_i, outs_q) = lax.scan(step, carry0, xs)
 
-    nco_i = jnp.concatenate([state.nco_last[None], outs_i])
-    nco_q = jnp.concatenate([state.nco_q_last[None], outs_q])
+    outs_i = jnp.moveaxis(outs_i, 0, -1)
+    outs_q = jnp.moveaxis(outs_q, 0, -1)
+    nco_i = jnp.concatenate([state.nco_last[..., None], outs_i], axis=-1)
+    nco_q = jnp.concatenate([state.nco_q_last[..., None], outs_q], axis=-1)
     new_state = PllState(carry[0], carry[1], carry[2], carry[3], carry[4],
-                         nco_i[-1], nco_q[-1])
+                         nco_i[..., -1], nco_q[..., -1])
     return nco_i, nco_q, new_state

@@ -125,6 +125,22 @@ class TestPll:
             np.testing.assert_allclose(ji, gi, atol=2e-2)
             np.testing.assert_allclose(jq, gq, atol=2e-2)
 
+    def test_batched_matches_per_row(self):
+        """Leading batch dims (channel-parallel) run lockstep scans whose
+        per-row outputs equal independent single-channel runs."""
+        fs = 240e3
+        t = np.arange(1500) / fs
+        xs = np.stack([0.4 * np.sin(2 * np.pi * (19e3 + df) * t + ph)
+                       for df, ph in [(10, 0.0), (-40, 1.0), (25, 2.0)]])
+        params = jpll.PllParams(freq=19e3, fs=fs, nco_scale=2.0)
+        bst = jax.tree.map(lambda l: jnp.broadcast_to(l, (3,)), jpll.pll_init())
+        bi, bq, bst2 = jpll.pll_block(_f32(xs), bst, params)
+        assert bi.shape == (3, 1501) and bst2.phase_est.shape == (3,)
+        for r in range(3):
+            si, sq, _ = jpll.pll_block(_f32(xs[r]), jpll.pll_init(), params)
+            np.testing.assert_allclose(bi[r], si, atol=1e-5)
+            np.testing.assert_allclose(bq[r], sq, atol=1e-5)
+
     def test_wrap_modulus(self):
         assert jpll.PllParams(19e3, 240e3, 2.0).wrap_modulus == pytest.approx(
             2 * np.pi)
