@@ -1,0 +1,323 @@
+"""TPU-native FM receiver: one jitted program per block, scan over blocks.
+
+Architecture (SURVEY.md §7): the reference's producer/consumer thread pipeline
+(src/project.cpp:384-500) does not map to TPU — here the entire per-block DAG
+
+    RF front-end -> mono ∥ stereo ∥ RDS-DSP
+
+is a single pure function ``process_block`` over an explicit state pytree,
+compiled once by XLA.  Streaming over a recording is ``lax.scan`` over the
+block axis (``run_blocks_scan``), so the whole receive is ONE device program
+with zero host round-trips; real-time operation feeds blocks through the same
+jitted step.  Every op supports leading batch dims, so a batch of independent
+FM channels (data-parallel axis, SURVEY.md §2.3) runs through the same code.
+
+Signal-flow parity targets (reference call stacks, SURVEY.md §3):
+ * front-end  — src/project.cpp:40-152, model/stereo.py:164-190
+ * mono path  — src/project.cpp:311-382, model/stereo.py:196-212
+ * stereo     — src/project.cpp:154-309, model/stereo.py:199-246
+ * RDS DSP    — model/fmRDS.py:222-254 (everything at IF rate and above);
+   the symbol-rate decode (CDR/Manchester/framesync, 2375 S/s) stays on host
+   by design — see sdr_tpu.golden.rds and sdr_tpu.models.rds_decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sdr_tpu import config as cfg
+from sdr_tpu.golden import filters as gfilt
+from sdr_tpu.ops import demod as jdemod
+from sdr_tpu.ops import fir as jfir
+from sdr_tpu.ops import pll as jpll
+
+
+class ReceiverCoeffs(NamedTuple):
+    """All FIR coefficient sets of one mode as device arrays (a pytree).
+
+    Designed on host in float64 (coefficient design is O(taps), run once),
+    stored float32 (ref design functions: model/stereo.py:90-105,
+    model/fmRDS.py:112-130).
+    """
+
+    rf: jnp.ndarray
+    audio: jnp.ndarray
+    pilot: jnp.ndarray
+    stereo: jnp.ndarray
+    rds_channel: jnp.ndarray
+    rds_carrier: jnp.ndarray
+    rds_resampler: jnp.ndarray
+    rds_rrc: jnp.ndarray
+
+
+class ReceiverState(NamedTuple):
+    """Inter-block carry — the checkpointable state machine
+    (ref STATES struct src/project.cpp:29-36,446-468; SURVEY.md §5
+    checkpoint/resume).  Every leaf may carry leading batch dims."""
+
+    rf_i: jnp.ndarray
+    rf_q: jnp.ndarray
+    demod_iq: jnp.ndarray
+    mono_allpass: jnp.ndarray
+    mono_fir: jnp.ndarray
+    stereo_bpf: jnp.ndarray
+    pilot_bpf: jnp.ndarray
+    stereo_fir: jnp.ndarray
+    pilot_pll: jpll.PllState
+    rds_channel: jnp.ndarray
+    rds_allpass: jnp.ndarray
+    rds_carrier: jnp.ndarray
+    rds_pll: jpll.PllState
+    rds_resampler: jnp.ndarray
+    rds_rrc: jnp.ndarray
+
+
+class BlockOutputs(NamedTuple):
+    """Per-block device outputs.  Disabled arms are zero-length arrays so the
+    pytree structure is static for scan/jit regardless of flags."""
+
+    fm_demod: jnp.ndarray
+    mono: jnp.ndarray
+    left: jnp.ndarray
+    right: jnp.ndarray
+    rds_symbols: jnp.ndarray  # RRC output (soft symbols at SPS*2375)
+
+
+def design_coeffs(mc: cfg.ModeConfig, dtype=jnp.float32) -> ReceiverCoeffs:
+    """Design every filter for one mode (host, float64 -> device float32)."""
+    r = mc.rds
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    z = jnp.zeros((0,), dtype)
+    return ReceiverCoeffs(
+        rf=f(gfilt.lowpass_taps(mc.rf_taps, mc.rf_fs, cfg.RF_FC_HZ)),
+        audio=f(gfilt.lowpass_taps(mc.audio_taps, mc.audio_lpf_fs,
+                                   cfg.AUDIO_FC_HZ)),
+        pilot=f(gfilt.bandpass_taps(mc.stereo_taps, mc.if_fs,
+                                    *cfg.PILOT_BPF_HZ)),
+        stereo=f(gfilt.bandpass_taps(mc.stereo_taps, mc.if_fs,
+                                     *cfg.STEREO_BPF_HZ)),
+        rds_channel=(f(gfilt.bandpass_taps(mc.rds_taps, mc.if_fs,
+                                           *cfg.RDS_CHANNEL_BPF_HZ))
+                     if r else z),
+        rds_carrier=(f(gfilt.bandpass_taps(mc.rds_taps, mc.if_fs,
+                                           *cfg.RDS_CARRIER_BPF_HZ))
+                     if r else z),
+        rds_resampler=(f(gfilt.lowpass_taps(r.resampler_taps,
+                                            mc.if_fs * r.upsamp,
+                                            cfg.RDS_RESAMPLER_FC_HZ))
+                       if r else z),
+        rds_rrc=f(gfilt.rrc_taps(r.symbol_fs, r.rrc_taps)) if r else z,
+    )
+
+
+def init_state(mc: cfg.ModeConfig, batch_shape: tuple[int, ...] = (),
+               dtype=jnp.float32) -> ReceiverState:
+    """Zero state (ref inits src/project.cpp:446-468, model/fmRDS.py:160-180).
+
+    ``batch_shape`` prepends channel-parallel batch dims to every leaf.
+    """
+    r = mc.rds
+    z = lambda *s: jnp.zeros(batch_shape + tuple(s), dtype)
+
+    def pll0():
+        st = jpll.pll_init(dtype=dtype)
+        if batch_shape:
+            st = jax.tree.map(
+                lambda l: jnp.broadcast_to(l, batch_shape + l.shape), st)
+        return st
+
+    audio_state = (gfilt.resample_state_len(mc.audio_taps, mc.audio_upsamp)
+                   if mc.audio_upsamp > 1 else mc.audio_taps - 1)
+    return ReceiverState(
+        rf_i=z(mc.rf_taps - 1),
+        rf_q=z(mc.rf_taps - 1),
+        demod_iq=z(2),
+        mono_allpass=z((mc.stereo_taps - 1) // 2),
+        mono_fir=z(audio_state),
+        stereo_bpf=z(mc.stereo_taps - 1),
+        pilot_bpf=z(mc.stereo_taps - 1),
+        stereo_fir=z(audio_state),
+        pilot_pll=pll0(),
+        rds_channel=z(mc.rds_taps - 1) if r else z(0),
+        rds_allpass=z((mc.rds_taps - 1) // 2) if r else z(0),
+        rds_carrier=z(mc.rds_taps - 1) if r else z(0),
+        rds_pll=pll0(),
+        rds_resampler=(z(gfilt.resample_state_len(r.resampler_taps, r.upsamp))
+                       if r else z(0)),
+        rds_rrc=z(r.rrc_taps - 1) if r else z(0),
+    )
+
+
+def pilot_pll_params(mc: cfg.ModeConfig) -> jpll.PllParams:
+    """Stereo pilot PLL: 19 kHz, x2 NCO, BW 0.01 (src/project.cpp:237)."""
+    return jpll.PllParams(freq=cfg.PILOT_FREQ_HZ, fs=mc.if_fs, nco_scale=2.0,
+                          phase_adjust=0.0, norm_bandwidth=0.01)
+
+
+def rds_pll_params(mc: cfg.ModeConfig) -> jpll.PllParams:
+    """RDS carrier PLL: 114 kHz, x0.5 NCO, +3pi/8, BW 0.002
+    (model/fmRDS.py:236-237)."""
+    return jpll.PllParams(freq=cfg.RDS_CARRIER_FREQ_HZ, fs=mc.if_fs,
+                          nco_scale=0.5, phase_adjust=3.0 * np.pi / 8.0,
+                          norm_bandwidth=0.002)
+
+
+def _audio_fir(x, h, state, mc: cfg.ModeConfig):
+    if mc.audio_upsamp > 1:
+        return jfir.fir_block_resample(x, h, state, mc.audio_decim,
+                                       mc.audio_upsamp)
+    return jfir.fir_block_decim(x, h, state, mc.audio_decim)
+
+
+def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
+                  state: ReceiverState, mc: cfg.ModeConfig,
+                  stereo: bool = True, with_rds: bool = False
+                  ) -> tuple[BlockOutputs, ReceiverState]:
+    """One block of the full receiver DAG (pure; jit via make_block_fn).
+
+    ``iq`` is normalized float interleaved I,Q,... of shape (..., 2*N_rf);
+    leading dims are an independent-channel batch.  ``mc``/``stereo``/
+    ``with_rds`` must be static under jit.
+    """
+    s = state
+    upd: dict = {}
+    empty = jnp.zeros(iq.shape[:-1] + (0,), iq.dtype)
+
+    # --- RF front-end (ref src/project.cpp:40-152) -----------------------
+    i_raw = iq[..., 0::2]
+    q_raw = iq[..., 1::2]
+    i_ds, upd["rf_i"] = jfir.fir_block_decim(i_raw, coeffs.rf, s.rf_i,
+                                             mc.rf_decim)
+    q_ds, upd["rf_q"] = jfir.fir_block_decim(q_raw, coeffs.rf, s.rf_q,
+                                             mc.rf_decim)
+    fm, upd["demod_iq"] = jdemod.fm_demod_quad(i_ds, q_ds, s.demod_iq)
+
+    # --- Mono, delay-matched to the band-pass arms (src/project.cpp:198) --
+    fm_delayed, upd["mono_allpass"] = jfir.allpass_delay(fm, s.mono_allpass)
+    mono, upd["mono_fir"] = _audio_fir(fm_delayed, coeffs.audio,
+                                       s.mono_fir, mc)
+
+    # --- Stereo (src/project.cpp:154-309) ---------------------------------
+    if stereo:
+        st_filt, upd["stereo_bpf"] = jfir.fir_block(fm, coeffs.stereo,
+                                                    s.stereo_bpf)
+        pi_filt, upd["pilot_bpf"] = jfir.fir_block(fm, coeffs.pilot,
+                                                   s.pilot_bpf)
+        nco, _, upd["pilot_pll"] = jpll.pll_block(pi_filt, s.pilot_pll,
+                                                  pilot_pll_params(mc))
+        mixer = nco[..., :-1] * st_filt * 2.0
+        st_final, upd["stereo_fir"] = _audio_fir(mixer, coeffs.audio,
+                                                 s.stereo_fir, mc)
+        left = mono + st_final
+        right = mono - st_final
+    else:
+        left = right = empty
+
+    # --- RDS DSP to soft symbols (model/fmRDS.py:222-254) -----------------
+    if with_rds and mc.rds is not None:
+        r = mc.rds
+        chan, upd["rds_channel"] = jfir.fir_block(fm, coeffs.rds_channel,
+                                                  s.rds_channel)
+        chan_delayed, upd["rds_allpass"] = jfir.allpass_delay(chan,
+                                                              s.rds_allpass)
+        carrier, upd["rds_carrier"] = jfir.fir_block(chan * chan,
+                                                     coeffs.rds_carrier,
+                                                     s.rds_carrier)
+        nco_r, _, upd["rds_pll"] = jpll.pll_block(carrier, s.rds_pll,
+                                                  rds_pll_params(mc))
+        rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
+        resampled, upd["rds_resampler"] = jfir.fir_block_resample(
+            rds_mixer, coeffs.rds_resampler, s.rds_resampler,
+            r.decim, r.upsamp)
+        symbols, upd["rds_rrc"] = jfir.fir_block(resampled, coeffs.rds_rrc,
+                                                 s.rds_rrc)
+    else:
+        symbols = empty
+
+    new_state = s._replace(**upd)
+    out = BlockOutputs(fm_demod=fm, mono=mono, left=left, right=right,
+                       rds_symbols=symbols)
+    return out, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds"))
+def _block_step(iq, coeffs, state, mode, stereo, with_rds):
+    mc = cfg.get_mode_config(mode)
+    return process_block(iq, coeffs, state, mc, stereo=stereo,
+                         with_rds=with_rds)
+
+
+def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
+                  with_rds: bool = False):
+    """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode."""
+    def fn(iq, coeffs, state):
+        return _block_step(iq, coeffs, state, int(mc.mode), stereo, with_rds)
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds"))
+def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
+                    state: ReceiverState, mode: int, stereo: bool = True,
+                    with_rds: bool = False
+                    ) -> tuple[BlockOutputs, ReceiverState]:
+    """Whole-recording streaming as ONE device program.
+
+    ``iq_blocks`` has shape (n_blocks, ..., block_len): scan axis first, then
+    optional channel-batch dims.  Replaces the reference's while-loop over
+    blocks (model/stereo.py:152) with ``lax.scan``; outputs come back stacked
+    (n_blocks, ..., out_len).
+    """
+    mc = cfg.get_mode_config(mode)
+
+    def step(st, iq):
+        out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
+                                with_rds=with_rds)
+        return st, out
+
+    final_state, outs = lax.scan(step, state, iq_blocks)
+    return outs, final_state
+
+
+class Receiver:
+    """Convenience stateful wrapper around the pure functions.
+
+    Owns coeffs + running state; ``process(iq)`` consumes one block,
+    ``run(iq)`` consumes a whole recording via scan.  The state pytree is
+    exposed for checkpoint/resume (SURVEY.md §5: block-k restart from saved
+    state is bit-identical).
+    """
+
+    def __init__(self, mode: int | cfg.Mode = 0, stereo: bool = True,
+                 with_rds: bool = False,
+                 batch_shape: tuple[int, ...] = ()):
+        self.mc = cfg.get_mode_config(mode)
+        self.stereo = stereo
+        self.with_rds = with_rds and self.mc.rds is not None
+        self.coeffs = design_coeffs(self.mc)
+        self.state = init_state(self.mc, batch_shape)
+        self._fn = make_block_fn(self.mc, self.stereo, self.with_rds)
+
+    def process(self, iq_block) -> BlockOutputs:
+        iq = jnp.asarray(iq_block, dtype=jnp.float32)
+        out, self.state = self._fn(iq, self.coeffs, self.state)
+        return out
+
+    def run(self, iq: np.ndarray,
+            block_size: Optional[int] = None) -> BlockOutputs:
+        """Scan a whole recording; returns stacked per-block outputs."""
+        if block_size is None:
+            block_size = self.mc.default_block_size(self.with_rds)
+        n_blocks = iq.shape[-1] // block_size
+        blocks = np.moveaxis(
+            np.asarray(iq[..., : n_blocks * block_size], dtype=np.float32)
+            .reshape(iq.shape[:-1] + (n_blocks, block_size)), -2, 0)
+        outs, self.state = run_blocks_scan(
+            jnp.asarray(blocks), self.coeffs, self.state, int(self.mc.mode),
+            self.stereo, self.with_rds)
+        return outs

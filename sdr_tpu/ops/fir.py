@@ -124,8 +124,10 @@ def fir_block_resample(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
                     padding=(pad_lo, pad_hi))[..., :n_out]
     else:
         xidx, nidx = _resample_maps(n, k, decim, upsamp)
-        hsel = np.where(nidx < k, np.asarray(h)[np.minimum(nidx, k - 1)], 0.0)
-        hsel = jnp.asarray(hsel * upsamp, dtype=x.dtype)     # (n_out, T)
+        # nidx/xidx are compile-time constants; h may be traced under jit
+        hsel = jnp.where(jnp.asarray(nidx < k),
+                         h[jnp.asarray(np.minimum(nidx, k - 1))], 0.0)
+        hsel = (hsel * upsamp).astype(x.dtype)               # (n_out, T)
         xwin = xc[..., jnp.asarray(xidx)]                    # (..., n_out, T)
         y = jnp.einsum("...ot,ot->...o", xwin, hsel,
                        preferred_element_type=jnp.float32,

@@ -121,7 +121,10 @@ def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
 
     info, framed = rds_encode_groups(rng, n_groups)
     symbols = manchester_encode(diff_encode(framed))
-    sym_rate = 2.0 * cfg.RDS_SYMBOL_RATE  # Manchester halves: 4750 baud
+    # Biphase-element rate IS the 2375 sym/s the receiver chain samples at
+    # (config.RDS_SYMBOL_RATE; model/fmSupportLib.py:264 T = 1/2375): each
+    # 1187.5 bit/s bit becomes two elements at 2375/s.
+    sym_rate = cfg.RDS_SYMBOL_RATE
     # impulse train at rf_fs
     idx = np.round(np.arange(len(symbols)) * rf_fs / sym_rate).astype(np.int64)
     idx = idx[idx < n]
@@ -130,7 +133,11 @@ def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
     # transmit-side RRC (receiver applies the matched RRC)
     sps_tx = int(round(rf_fs / sym_rate))
     h = rrc_taps(fs=sym_rate * sps_tx, n_taps=8 * sps_tx + 1)
-    shaped = np.convolve(train, h, mode="same")
+    try:
+        from scipy.signal import fftconvolve
+        shaped = fftconvolve(train, h, mode="same")
+    except ImportError:  # pragma: no cover
+        shaped = np.convolve(train, h, mode="same")
     peak = np.max(np.abs(shaped)) or 1.0
     return shaped / peak, info, framed
 

@@ -64,6 +64,32 @@ class TestRds:
         # after PLL/CDR settle we must sync to several RDS blocks
         assert len(all_matches) >= 4, all_matches
 
+    def test_rds_info_words_recovered(self, synth_mode0):
+        """Frame matches must carry the transmitted 16-bit info words —
+        guards against chance syndrome matches (5/1024 per window)."""
+        mc = cfg.get_mode_config(0)
+        iq = synth.u8_to_float(synth_mode0.iq_u8)
+        outs = receiver.run_file(iq, mc, stereo=False, with_rds=True)
+        sent = {tuple(w) for g in synth_mode0.rds_info_bits for w in g}
+        hits = 0
+        # decode the full symbol stream in one pass with the robust CDR
+        from sdr_tpu.golden import rds as grds
+        sym = np.concatenate([o.rds_symbols for o in outs
+                              if o.rds_symbols is not None])
+        manch, _, _ = grds.cdr_robust(sym, mc.rds.sps)
+        bits = grds.diff_decode(manch)
+        frames = grds.frame_sync(bits)
+        offs = [off for _, off in frames.matches]
+        assert len(frames.matches) >= 8, frames.matches
+        for pos, _ in frames.matches:
+            if tuple(bits[pos:pos + 16]) in sent:
+                hits += 1
+        assert hits >= len(frames.matches) - 1, (hits, len(frames.matches))
+        # offsets must walk the canonical A,B,C,D cycle
+        seq = "ABCD"
+        idx = [seq.index(o) for o in offs if o in seq]
+        assert all((b - a) % 4 == 1 for a, b in zip(idx, idx[1:])), offs
+
 
 @pytest.mark.parametrize("mode", [1, 3])
 def test_other_modes_mono(mode):

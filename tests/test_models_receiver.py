@@ -1,0 +1,143 @@
+"""TPU receiver (jitted JAX) vs golden numpy oracle.
+
+The rebuild's equivalent of the reference's "bit equivalence between the C++
+refactor and the Python model" gate (SURVEY.md §4): per-block tolerance
+equivalence on every output arm, block-size invariance (streaming-state
+correctness), scan/per-block equality, and channel-batch consistency.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu import config as cfg
+from sdr_tpu.golden import receiver as grx
+from sdr_tpu.models import receiver as trx
+from sdr_tpu.models import rds_decode
+from sdr_tpu.utils import synth
+
+
+@pytest.fixture(scope="module")
+def mode0_signal():
+    res = synth.synthesize_fm(duration_s=0.3, mode=0, with_stereo=True,
+                              with_rds=True, seed=11)
+    return synth.u8_to_float(res.iq_u8), res
+
+
+def _golden_run(iq, mc, stereo, with_rds, block_size):
+    return grx.run_file(iq, mc, stereo=stereo, with_rds=with_rds,
+                        block_size=block_size)
+
+
+class TestParityVsGolden:
+    def test_stereo_rds_block_parity(self, mode0_signal):
+        iq, _ = mode0_signal
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        gouts = _golden_run(iq, mc, True, True, bs)
+
+        rx = trx.Receiver(0, stereo=True, with_rds=True)
+        n_blocks = len(iq) // bs
+        for b in range(min(n_blocks, 6)):
+            out = rx.process(iq[b * bs:(b + 1) * bs])
+            g = gouts[b]
+            np.testing.assert_allclose(out.fm_demod, g.fm_demod, atol=2e-4)
+            np.testing.assert_allclose(out.mono, g.mono, atol=2e-4)
+            # PLL-dependent arms accumulate recurrence roundoff in float32
+            np.testing.assert_allclose(out.left, g.left, atol=5e-3)
+            np.testing.assert_allclose(out.right, g.right, atol=5e-3)
+            np.testing.assert_allclose(out.rds_symbols, g.rds_symbols,
+                                       atol=5e-3)
+
+    @pytest.mark.parametrize("mode", [1, 3])
+    def test_mono_parity_other_modes(self, mode):
+        mc = cfg.get_mode_config(mode)
+        res = synth.synthesize_fm(duration_s=0.15, mode=mode,
+                                  with_stereo=False, with_rds=False, seed=5)
+        iq = synth.u8_to_float(res.iq_u8)
+        bs = mc.default_block_size()
+        gouts = _golden_run(iq, mc, False, False, bs)
+        rx = trx.Receiver(mode, stereo=False)
+        for b in range(min(len(iq) // bs, 4)):
+            out = rx.process(iq[b * bs:(b + 1) * bs])
+            np.testing.assert_allclose(out.mono, gouts[b].mono, atol=3e-4)
+
+
+class TestStreaming:
+    def test_scan_equals_per_block(self, mode0_signal):
+        iq, _ = mode0_signal
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        n = (len(iq) // bs) * bs
+
+        rx1 = trx.Receiver(0, stereo=True, with_rds=True)
+        outs = rx1.run(iq[:n])
+
+        rx2 = trx.Receiver(0, stereo=True, with_rds=True)
+        for b in range(n // bs):
+            blk_out = rx2.process(iq[b * bs:(b + 1) * bs])
+            # block 0 covers the pilot-PLL lock transient where the atan2
+            # detector is chaotic-sensitive to fusion-order roundoff between
+            # the two compiled programs; steady state agrees to ~3e-7
+            atol = 5e-3 if b == 0 else 1e-5
+            np.testing.assert_allclose(outs.left[b], blk_out.left, atol=atol)
+            np.testing.assert_allclose(outs.rds_symbols[b],
+                                       blk_out.rds_symbols, atol=1e-5)
+        # final states identical
+        for a, c in zip(jax.tree.leaves(rx1.state), jax.tree.leaves(rx2.state)):
+            np.testing.assert_allclose(a, c, atol=1e-5)
+
+    def test_block_size_invariance(self, mode0_signal):
+        """Outputs must not depend on the streaming block size — the
+        overlap-save state property the reference validates by comparing
+        block vs single-pass convolution (SURVEY.md §4)."""
+        iq, _ = mode0_signal
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        n = 2 * bs
+
+        rx_small = trx.Receiver(0, stereo=True, with_rds=True)
+        small = [rx_small.process(iq[b * bs:(b + 1) * bs]) for b in range(2)]
+        left_small = np.concatenate([np.asarray(o.left) for o in small])
+
+        rx_big = trx.Receiver(0, stereo=True, with_rds=True)
+        big = rx_big.process(iq[:n])
+        np.testing.assert_allclose(np.asarray(big.left), left_small, atol=1e-4)
+
+
+class TestChannelBatch:
+    def test_batched_rows_match_single(self):
+        """A (2, N) channel batch gives per-row results equal to two
+        independent single-channel runs (data-parallel axis, SURVEY §2.3)."""
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size()
+        r1 = synth.synthesize_fm(duration_s=0.08, mode=0, seed=1,
+                                 with_rds=False)
+        r2 = synth.synthesize_fm(duration_s=0.08, mode=0, seed=2,
+                                 with_rds=False, tone_l=600.0, tone_r=2000.0)
+        iqs = np.stack([synth.u8_to_float(r.iq_u8)[:bs] for r in (r1, r2)])
+
+        rxb = trx.Receiver(0, stereo=True, batch_shape=(2,))
+        outb = rxb.process(iqs)
+        for row in range(2):
+            rx = trx.Receiver(0, stereo=True)
+            out = rx.process(iqs[row])
+            np.testing.assert_allclose(outb.left[row], out.left, atol=1e-5)
+            np.testing.assert_allclose(outb.mono[row], out.mono, atol=1e-5)
+
+
+class TestRdsEndToEnd:
+    def test_tpu_chain_decodes_rds_frames(self, mode0_signal):
+        iq, res = mode0_signal
+        mc = cfg.get_mode_config(0)
+        rx = trx.Receiver(0, stereo=False, with_rds=True)
+        outs = rx.run(iq)
+        dec = rds_decode.decode_robust(np.asarray(outs.rds_symbols),
+                                       mc.rds.sps)
+        assert len(dec.frames.matches) >= 4, dec.frames.matches
+        # at least one decoded info word must be a real transmitted word
+        sent = {tuple(w) for g in res.rds_info_bits for w in g}
+        got = {tuple(w) for w in dec.info_words}
+        assert got & sent, (got, sent)
