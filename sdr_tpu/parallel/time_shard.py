@@ -1,0 +1,116 @@
+"""Time-parallel receive: one recording split across chips with halo exchange.
+
+The reference's whole design is overlap-save streaming — every stateful op
+carries a small trailing-input state (SURVEY.md §2.3 row 2).  Splitting a
+long recording into S contiguous shards therefore needs each shard to start
+with the state the previous shard would have handed it.  Two classes of op:
+
+* **linear/FIR state** (FIR tails, demod last-IQ, allpass delay): fully
+  determined by the last few *input* samples — covered exactly by prefixing
+  each shard with an input overlap from its left neighbor (one ``ppermute``
+  over ICI inside ``shard_map``).
+* **sequential recurrences** (PLL; ref src/filter.cpp:52-72): state is a
+  function of the whole past.  The overlap gives the PLL a re-lock runway;
+  after lock the NCO converges to the same phase trajectory (the pilot is a
+  physical oscillator both shards track), so outputs agree after the
+  overlap to PLL-tracking tolerance, not bit-exactly (SURVEY.md §7 step 8's
+  "re-lock with overlap discard" plan).
+
+Each shard runs the SAME jitted block DAG as single-chip; the only
+collective on the hot path is the single halo ``ppermute`` per program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdr_tpu import config as cfg
+from sdr_tpu.models import receiver as rx
+
+
+def _out_len(n_if: int, mc: cfg.ModeConfig) -> int:
+    return n_if * mc.audio_upsamp // mc.audio_decim
+
+
+def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
+                         mode: int | cfg.Mode = 0, stereo: bool = True,
+                         with_rds: bool = False,
+                         overlap_if: Optional[int] = None,
+                         axis: str = "time") -> rx.BlockOutputs:
+    """Process one recording time-sharded over ``mesh`` axis ``axis``.
+
+    ``iq``: (n,) normalized interleaved IQ; n must divide evenly into
+    S = mesh.shape[axis] segments whose IF length is a whole block multiple.
+    ``overlap_if`` is the per-shard warm-up prefix in IF samples (default
+    8x the IF block multiple, ~>= 6k samples: enough for FIR depth and PLL
+    re-lock).  Returns globally assembled outputs (overlap discarded),
+    laid out exactly like a contiguous run.
+    """
+    mc = cfg.get_mode_config(mode)
+    with_rds = with_rds and mc.rds is not None
+    s = mesh.shape[axis]
+
+    mult = mc.if_block_multiple(with_rds)
+    if overlap_if is None:
+        # smallest block multiple >= 6000 IF samples (~25 ms: beyond FIR
+        # depth and enough pilot-PLL re-lock runway, tests/test_parallel.py)
+        overlap_if = -(-6000 // mult) * mult
+    assert overlap_if % mult == 0, (overlap_if, mult)
+
+    raw_per_if = 2 * mc.rf_decim
+    n = iq.shape[-1]
+    seg = n // s
+    assert seg * s == n, "recording must split evenly across shards"
+    assert seg % (mult * raw_per_if) == 0, (
+        f"segment of {seg} raw samples is not a block multiple")
+    halo_raw = overlap_if * raw_per_if
+    assert halo_raw <= seg, "overlap larger than a segment"
+
+    coeffs = rx.design_coeffs(mc)
+
+    # only enabled arms are returned — zero-length placeholders cannot carry
+    # a sharded PartitionSpec
+    arms = ["fm_demod", "mono"]
+    if stereo:
+        arms += ["left", "right"]
+    if with_rds:
+        arms += ["rds_symbols"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(axis),
+        out_specs={a: P(axis) for a in arms},
+        check_vma=False)
+    def run_shard(iq_local: jnp.ndarray) -> dict:
+        # left neighbor's trailing halo_raw samples; shard 0 receives zeros
+        # (== the cold-start state of a contiguous run)
+        halo = lax.ppermute(iq_local[..., -halo_raw:], axis,
+                            [(i, i + 1) for i in range(s - 1)])
+        ext = jnp.concatenate([halo, iq_local], axis=-1)
+        state = rx.init_state(mc)
+        out, _ = rx.process_block(ext, coeffs, state, mc, stereo=stereo,
+                                  with_rds=with_rds)
+        # discard the overlap region from every output arm
+        audio_skip = _out_len(overlap_if, mc)
+        skips = {"fm_demod": overlap_if, "mono": audio_skip,
+                 "left": audio_skip, "right": audio_skip}
+        if with_rds:
+            r = mc.rds
+            skips["rds_symbols"] = overlap_if * r.upsamp // r.decim
+        full = out._asdict()
+        return {a: full[a][..., skips[a]:] for a in arms}
+
+    sharding = NamedSharding(mesh, P(axis))
+    iq_dev = jax.device_put(jnp.asarray(iq, dtype=jnp.float32), sharding)
+    res = run_shard(iq_dev)
+    empty = jnp.zeros((0,), jnp.float32)
+    return rx.BlockOutputs(**{f: res.get(f, empty)
+                              for f in rx.BlockOutputs._fields})
