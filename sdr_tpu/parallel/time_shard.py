@@ -44,15 +44,20 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
                          mode: int | cfg.Mode = 0, stereo: bool = True,
                          with_rds: bool = False,
                          overlap_if: Optional[int] = None,
-                         axis: str = "time") -> rx.BlockOutputs:
+                         axis: str = "time",
+                         batch_axis: Optional[str] = None) -> rx.BlockOutputs:
     """Process one recording time-sharded over ``mesh`` axis ``axis``.
 
     ``iq``: (n,) normalized interleaved IQ; n must divide evenly into
     S = mesh.shape[axis] segments whose IF length is a whole block multiple.
     ``overlap_if`` is the per-shard warm-up prefix in IF samples (default
-    8x the IF block multiple, ~>= 6k samples: enough for FIR depth and PLL
+    the smallest block multiple >= 6k samples: enough for FIR depth and PLL
     re-lock).  Returns globally assembled outputs (overlap discarded),
     laid out exactly like a contiguous run.
+
+    With ``batch_axis`` set, ``iq`` is (C, n): a channel batch sharded over
+    a second mesh axis — time and channel parallelism composed on one 2D
+    mesh (the dp x sp layout of SURVEY.md §2.3).
     """
     mc = cfg.get_mode_config(mode)
     with_rds = with_rds and mc.rds is not None
@@ -84,10 +89,12 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     if with_rds:
         arms += ["rds_symbols"]
 
+    spec = P(batch_axis, axis) if batch_axis else P(axis)
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=P(axis),
-        out_specs={a: P(axis) for a in arms},
+        in_specs=spec,
+        out_specs={a: spec for a in arms},
         check_vma=False)
     def run_shard(iq_local: jnp.ndarray) -> dict:
         # left neighbor's trailing halo_raw samples; shard 0 receives zeros
@@ -95,7 +102,7 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         halo = lax.ppermute(iq_local[..., -halo_raw:], axis,
                             [(i, i + 1) for i in range(s - 1)])
         ext = jnp.concatenate([halo, iq_local], axis=-1)
-        state = rx.init_state(mc)
+        state = rx.init_state(mc, batch_shape=ext.shape[:-1])
         out, _ = rx.process_block(ext, coeffs, state, mc, stereo=stereo,
                                   with_rds=with_rds)
         # discard the overlap region from every output arm
@@ -108,7 +115,7 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         full = out._asdict()
         return {a: full[a][..., skips[a]:] for a in arms}
 
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, spec)
     iq_dev = jax.device_put(jnp.asarray(iq, dtype=jnp.float32), sharding)
     res = run_shard(iq_dev)
     empty = jnp.zeros((0,), jnp.float32)

@@ -110,6 +110,25 @@ class TestTimeSharded:
         ref_rms = np.sqrt(np.mean(left_ref[skip:] ** 2))
         assert err < 0.05 * ref_rms, (err, ref_rms)
 
+    def test_2d_mesh_channel_by_time(self, recording):
+        """dp x sp composition: 2 channels x 4 time shards on a 2D mesh."""
+        iq, _ = recording
+        mc = cfg.get_mode_config(0)
+        iq1 = self._trim(iq, mc, 4, False)
+        iqc = np.stack([iq1, iq1 * 0.75])
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("ch", "time"))
+        outs = time_sharded_receive(iqc, mesh, 0, stereo=False,
+                                    with_rds=False, axis="time",
+                                    batch_axis="ch")
+        mono = np.asarray(outs.mono)
+        assert mono.shape[0] == 2
+        rxs = trx.Receiver(0, stereo=False)
+        ref = np.asarray(rxs.run(iq1, block_size=iq1.shape[-1]).mono
+                         ).reshape(-1)
+        np.testing.assert_allclose(mono[0], ref, atol=1e-5)
+
     def test_rds_symbols_survive_sharding(self, mesh8, recording):
         """Time-sharded soft symbols still decode every RDS frame."""
         from sdr_tpu.models import rds_decode
