@@ -1,0 +1,122 @@
+"""Command-line receiver: u8 IQ in -> PCM/wav/RDS out.
+
+Replaces the reference's positional-argv entry points
+(``./project <mode 0-3> <channels 1|2>``, src/project.cpp:385-419;
+``python3 stereo.py <mode>``) with one typed CLI over the TPU receiver:
+
+    python -m sdr_tpu.cli --mode 0 --stereo capture.raw -o out.pcm
+    rtl_sdr -f 99.9M -s 2.4M - | python -m sdr_tpu.cli --mode 0 - | aplay ...
+
+Streaming uses the jitted per-block step with carried state (the same
+program bench.py measures); ``--wav`` writes a .wav instead of raw PCM and
+``--rds`` prints decoded RDS frame info to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from sdr_tpu import config as cfg
+from sdr_tpu import io as sio
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdr_tpu", description="TPU-native FM receiver")
+    p.add_argument("input", help="raw interleaved u8 IQ file, or '-' "
+                                 "for stdin")
+    p.add_argument("--mode", type=int, default=0, choices=[0, 1, 2, 3],
+                   help="sample-rate mode (group-28 constraint table)")
+    p.add_argument("--stereo", action="store_true",
+                   help="decode stereo (default mono)")
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS frames (modes 0/2 only)")
+    p.add_argument("-o", "--output", default="-",
+                   help="PCM output path, '-' for stdout")
+    p.add_argument("--wav", action="store_true",
+                   help="write a .wav file instead of raw PCM")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="raw u8 samples per block (default per-mode)")
+    p.add_argument("--stats", action="store_true",
+                   help="print throughput stats to stderr at EOF")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from sdr_tpu.models import receiver as rx
+    from sdr_tpu.models import rds_decode
+
+    mc = cfg.get_mode_config(args.mode)
+    with_rds = args.rds and mc.rds is not None
+    if args.rds and mc.rds is None:
+        print(f"mode {args.mode} carries no RDS; ignoring --rds",
+              file=sys.stderr)
+    bs = args.block_size or mc.default_block_size(with_rds)
+
+    receiver = rx.Receiver(args.mode, stereo=args.stereo, with_rds=with_rds)
+
+    in_stream = sio.stdin_binary() if args.input == "-" else open(
+        args.input, "rb")
+    out_stream = None
+    audio_accum = [] if args.wav else None
+    if not args.wav:
+        out_stream = sio.stdout_binary() if args.output == "-" else open(
+            args.output, "wb")
+
+    symbol_blocks = []
+    n_blocks = 0
+    t0 = time.time()
+    try:
+        for blk in sio.iter_iq_blocks(in_stream, bs):
+            out = receiver.process(blk)
+            if args.stereo:
+                audio = np.stack([np.asarray(out.left),
+                                  np.asarray(out.right)], axis=-1)
+            else:
+                audio = np.asarray(out.mono)
+            if args.wav:
+                audio_accum.append(audio)
+            else:
+                sio.write_pcm(out_stream, audio)
+            if with_rds:
+                symbol_blocks.append(np.asarray(out.rds_symbols))
+            n_blocks += 1
+    finally:
+        if in_stream is not sys.stdin.buffer:
+            in_stream.close()
+
+    dt = time.time() - t0
+    if args.wav:
+        audio = (np.concatenate(audio_accum)
+                 if audio_accum else np.zeros((0,), np.float32))
+        sio.write_wav(args.output, audio, mc.audio_fs)
+    elif out_stream is not sys.stdout.buffer:
+        out_stream.close()
+
+    if with_rds and symbol_blocks:
+        dec = rds_decode.decode_robust(np.concatenate(symbol_blocks),
+                                       mc.rds.sps)
+        print(f"RDS: {len(dec.frames.matches)} frames "
+              f"({', '.join(off for _, off in dec.frames.matches[:12])}"
+              f"{'...' if len(dec.frames.matches) > 12 else ''})",
+              file=sys.stderr)
+        for w in dec.info_words[:8]:
+            print("RDS info:", "".join(map(str, w)), file=sys.stderr)
+
+    if args.stats and n_blocks:
+        pairs = n_blocks * bs / 2
+        print(f"{n_blocks} blocks, {pairs / 1e6:.2f} M IQ pairs in "
+              f"{dt:.2f}s = {pairs / dt / 1e6:.1f} MS/s "
+              f"({pairs / mc.rf_fs / dt:.1f}x real-time)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""IO layer semantics + CLI end-to-end (file in, PCM/wav out, RDS report)."""
+
+import io as pyio
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sdr_tpu import config as cfg
+from sdr_tpu import io as sio
+from sdr_tpu.utils import synth
+
+
+class TestIo:
+    def test_u8_normalize_matches_reference_formula(self):
+        raw = np.array([0, 127, 128, 255], dtype=np.uint8)
+        np.testing.assert_allclose(
+            sio.u8_normalize(raw),
+            [(0 - 128) / 128, (127 - 128) / 128, 0.0, (255 - 128) / 128])
+
+    def test_block_iterator_drops_short_tail(self):
+        data = bytes(range(10)) * 10  # 100 bytes
+        blocks = list(sio.iter_iq_blocks(pyio.BytesIO(data), 40))
+        assert len(blocks) == 2
+        assert all(len(b) == 40 for b in blocks)
+
+    def test_pcm_quantize_nan_clamp(self):
+        x = np.array([0.0, np.nan, 0.5, -0.5, 1.5], dtype=np.float32)
+        y = sio.pcm_quantize(x)
+        assert y.dtype == np.int16
+        assert y[1] == 0
+        assert y[2] == 8192 and y[3] == -8192
+
+    def test_f32_roundtrip(self, tmp_path):
+        x = np.random.default_rng(0).normal(size=64).astype(np.float32)
+        p = str(tmp_path / "x.bin")
+        sio.write_f32(p, x)
+        np.testing.assert_array_equal(sio.read_f32(p), x)
+
+
+class TestCli:
+    @pytest.fixture(scope="class")
+    def raw_file(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("cli")
+        res = synth.synthesize_fm(duration_s=0.2, mode=0, with_stereo=True,
+                                  with_rds=True, seed=13)
+        p = d / "station.raw"
+        res.iq_u8.tofile(p)
+        return str(p), res
+
+    def _run(self, args):
+        return subprocess.run(
+            [sys.executable, "-m", "sdr_tpu.cli", *args],
+            capture_output=True, timeout=600,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo",
+                 "HOME": "/root"})
+
+    def test_mono_pcm_stdout(self, raw_file):
+        path, _ = raw_file
+        r = self._run(["--mode", "0", path, "--stats"])
+        assert r.returncode == 0, r.stderr.decode()
+        pcm = np.frombuffer(r.stdout, dtype=np.int16)
+        mc = cfg.get_mode_config(0)
+        # ~0.2 s of audio at 48 kHz (block-quantized)
+        assert len(pcm) > 0.15 * mc.audio_fs
+        assert np.abs(pcm.astype(np.int32)).max() > 1000  # real audio
+        assert b"MS/s" in r.stderr
+
+    def test_stereo_wav_and_rds(self, raw_file, tmp_path):
+        path, res = raw_file
+        out = str(tmp_path / "out.wav")
+        r = self._run(["--mode", "0", "--stereo", "--rds", path,
+                       "--wav", "-o", out])
+        assert r.returncode == 0, r.stderr.decode()
+        from scipy.io import wavfile
+        fs, audio = wavfile.read(out)
+        assert fs == 48000 and audio.ndim == 2 and audio.shape[1] == 2
+        assert b"RDS:" in r.stderr and b"frames" in r.stderr
