@@ -24,6 +24,14 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: repeat bench runs skip XLA compilation
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/sdr_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sdr_tpu import config as cfg

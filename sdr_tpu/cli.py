@@ -70,11 +70,20 @@ def main(argv=None) -> int:
         out_stream = sio.stdout_binary() if args.output == "-" else open(
             args.output, "wb")
 
+    # native threaded feed when a real fd is available: the producer thread
+    # reads+normalizes ahead of device compute (the reference's
+    # producer/consumer queue, now host-side only)
+    try:
+        from sdr_tpu import native
+        source = native.BlockReader(in_stream.fileno(), bs)
+    except Exception:
+        source = sio.iter_iq_blocks(in_stream, bs)
+
     symbol_blocks = []
     n_blocks = 0
     t0 = time.time()
     try:
-        for blk in sio.iter_iq_blocks(in_stream, bs):
+        for blk in source:
             out = receiver.process(blk)
             if args.stereo:
                 audio = np.stack([np.asarray(out.left),
