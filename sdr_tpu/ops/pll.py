@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Loop-filter constants for damping 1/sqrt(2) (model/fmSupportLib.py:303-309).
@@ -66,8 +67,12 @@ def pll_init(nco_last: float = 1.0, nco_q_last: float = 0.0,
                     f(nco_last), f(nco_q_last))
 
 
-def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
-              ) -> tuple[jnp.ndarray, jnp.ndarray, PllState]:
+_PI = float(np.pi)
+
+
+def pll_block(x: jnp.ndarray, state: PllState, params: PllParams,
+              use_atan2: bool = False,
+              unroll: int = 32) -> tuple[jnp.ndarray, jnp.ndarray, PllState]:
     """Run the PLL over one block.
 
     Returns (nco_i, nco_q, new_state); the NCO arrays have ``len(x)+1``
@@ -78,6 +83,20 @@ def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
     which case every state leaf has shape (...) and the scan runs all
     channels in lockstep (the recurrences are independent, so the batch
     vectorizes on the VPU).
+
+    **Transcendental-free recurrence** (the default): because the PLL input
+    is real, the reference's phase detector
+    ``atan2(x*(-sin a), x*cos a)`` (src/filter.cpp:52-57) is exactly
+
+        x > 0:  wrap_pi(-a)
+        x < 0:  wrap_pi(pi - a)
+        x == 0: 0 if cos a > 0 else -sign(sin a)*pi   (IEEE atan2 of +-0)
+
+    so the sequential loop needs only adds/compares/selects, and every
+    cos/sin moves OUT of the scan into one vectorized pass over the block.
+    This removes all transcendentals from the TPU's sequential bottleneck
+    (SURVEY.md "hard parts" #1).  ``use_atan2=True`` keeps the literal
+    reference recurrence for A/B validation.
     """
     kp = params.norm_bandwidth * _CP
     ki = params.norm_bandwidth * params.norm_bandwidth * _CI
@@ -85,29 +104,60 @@ def pll_block(x: jnp.ndarray, state: PllState, params: PllParams
     m = params.wrap_modulus
     scale = params.nco_scale
     adj = params.phase_adjust
-
-    def step(carry, xk):
-        integ, phase, psi, fb_i, fb_q = carry
-        err = jnp.arctan2(xk * (-fb_q), xk * fb_i)
-        integ = integ + ki * err
-        phase = jnp.mod(phase + kp * err + integ, m)
-        psi = jnp.mod(psi + w, m)
-        arg = psi + phase
-        fb_i = jnp.cos(arg)
-        fb_q = jnp.sin(arg)
-        out_i = jnp.cos(arg * scale + adj)
-        out_q = jnp.sin(arg * scale + adj)
-        return (integ, phase, psi, fb_i, fb_q), (out_i, out_q)
-
-    carry0 = (state.integrator, state.phase_est, state.osc_phase,
-              state.feedback_i, state.feedback_q)
     xs = jnp.moveaxis(x, -1, 0)  # scan over time, batch dims vectorize
-    carry, (outs_i, outs_q) = lax.scan(step, carry0, xs)
+
+    if use_atan2:
+        def step(carry, xk):
+            integ, phase, psi, fb_i, fb_q = carry
+            err = jnp.arctan2(xk * (-fb_q), xk * fb_i)
+            integ = integ + ki * err
+            phase = jnp.mod(phase + kp * err + integ, m)
+            psi = jnp.mod(psi + w, m)
+            arg = psi + phase
+            fb_i = jnp.cos(arg)
+            fb_q = jnp.sin(arg)
+            out_i = jnp.cos(arg * scale + adj)
+            out_q = jnp.sin(arg * scale + adj)
+            return (integ, phase, psi, fb_i, fb_q), (out_i, out_q)
+
+        carry0 = (state.integrator, state.phase_est, state.osc_phase,
+                  state.feedback_i, state.feedback_q)
+        carry, (outs_i, outs_q) = lax.scan(step, carry0, xs, unroll=unroll)
+        fb_i_last, fb_q_last = carry[3], carry[4]
+    else:
+        two_pi = 2.0 * _PI
+
+        def wrap_pi(a):
+            return a - two_pi * jnp.floor(a / two_pi + 0.5)
+
+        def step(carry, xk):
+            integ, phase, psi, aw = carry
+            err_pos = -aw
+            err_neg = jnp.where(aw > 0, _PI - aw, -_PI - aw)
+            err_zero = jnp.where(jnp.abs(aw) < _PI / 2, 0.0,
+                                 jnp.where(aw > 0, -_PI, _PI))
+            err = jnp.where(xk > 0, err_pos,
+                            jnp.where(xk < 0, err_neg, err_zero))
+            integ = integ + ki * err
+            phase = jnp.mod(phase + kp * err + integ, m)
+            psi = jnp.mod(psi + w, m)
+            arg = psi + phase
+            return (integ, phase, psi, wrap_pi(arg)), arg
+
+        # recover the carried feedback angle (wrapped is all err needs)
+        aw0 = jnp.arctan2(state.feedback_q, state.feedback_i)
+        carry0 = (state.integrator, state.phase_est, state.osc_phase, aw0)
+        carry, args = lax.scan(step, carry0, xs, unroll=unroll)
+        # all trig vectorized over the block (VPU), outside the recurrence
+        outs_i = jnp.cos(args * scale + adj)
+        outs_q = jnp.sin(args * scale + adj)
+        fb_i_last = jnp.cos(carry[3])
+        fb_q_last = jnp.sin(carry[3])
 
     outs_i = jnp.moveaxis(outs_i, 0, -1)
     outs_q = jnp.moveaxis(outs_q, 0, -1)
     nco_i = jnp.concatenate([state.nco_last[..., None], outs_i], axis=-1)
     nco_q = jnp.concatenate([state.nco_q_last[..., None], outs_q], axis=-1)
-    new_state = PllState(carry[0], carry[1], carry[2], carry[3], carry[4],
+    new_state = PllState(carry[0], carry[1], carry[2], fb_i_last, fb_q_last,
                          nco_i[..., -1], nco_q[..., -1])
     return nco_i, nco_q, new_state

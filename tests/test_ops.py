@@ -125,6 +125,23 @@ class TestPll:
             np.testing.assert_allclose(ji, gi, atol=2e-2)
             np.testing.assert_allclose(jq, gq, atol=2e-2)
 
+    def test_transcendental_free_equals_atan2_variant(self):
+        """The wrapped-phase detector must track the literal atan2
+        recurrence sample-for-sample (same math, different evaluation)."""
+        fs = 240e3
+        t = np.arange(4000) / fs
+        x = (0.4 * np.sin(2 * np.pi * 19020 * t + 0.3)
+             + 0.01 * np.sin(2 * np.pi * 700 * t))
+        params = jpll.PllParams(freq=19e3, fs=fs, nco_scale=2.0)
+        sa = jpll.pll_init(nco_q_last=0.0)
+        sb = jpll.pll_init(nco_q_last=0.0)
+        for b in range(2):
+            blk = _f32(x[b * 2000:(b + 1) * 2000])
+            ia, qa, sa = jpll.pll_block(blk, sa, params, use_atan2=True)
+            ib, qb, sb = jpll.pll_block(blk, sb, params, use_atan2=False)
+            np.testing.assert_allclose(ia, ib, atol=5e-3)
+            np.testing.assert_allclose(qa, qb, atol=5e-3)
+
     def test_batched_matches_per_row(self):
         """Leading batch dims (channel-parallel) run lockstep scans whose
         per-row outputs equal independent single-channel runs."""
