@@ -1,0 +1,74 @@
+"""Checkpoint/resume for the receiver state machine.
+
+The reference has no on-disk checkpointing, but its whole design is a
+checkpointable state machine: all inter-block state is explicit,
+enumerable, and tiny (STATES struct src/project.cpp:29-36,446-468;
+SURVEY.md §5 "Checkpoint / resume").  The contract: a block-k restart from
+saved state is bit-identical to uninterrupted streaming.  Here the state
+is already a flat pytree (sdr_tpu.models.receiver.ReceiverState), so a
+checkpoint is one ``.npz`` per state plus the CDR/framesync host-side
+carry.
+
+For large channel batches the same pytree round-trips through orbax
+(``save_orbax``/``load_orbax``) for sharded multi-host checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from sdr_tpu import config as cfg
+from sdr_tpu.models import receiver as rx
+
+
+def _flatten_with_paths(state: rx.ReceiverState) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+        key = "/".join(getattr(p, "name", str(getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(path: str, state: rx.ReceiverState, mode: int | cfg.Mode,
+         block_count: int = 0, extra: dict[str, Any] | None = None) -> None:
+    """Write state + metadata to ``<path>`` (.npz)."""
+    flat = _flatten_with_paths(state)
+    meta = {"mode": int(mode), "block_count": int(block_count),
+            "extra": extra or {}}
+    np.savez(path, __meta__=json.dumps(meta), **flat)
+
+
+def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
+    """Read a checkpoint; returns (state, meta)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        mc = cfg.get_mode_config(meta["mode"])
+        template = rx.init_state(mc)
+        flat = _flatten_with_paths(template)
+        batchless = {k: z[k] for k in flat}
+    leaves = [jax.numpy.asarray(batchless[k]) for k in flat]
+    treedef = jax.tree_util.tree_structure(template)
+    # tree_flatten_with_path and tree_structure enumerate leaves in the
+    # same (deterministic) order for a NamedTuple pytree
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, meta
+
+
+def save_orbax(dirpath: str, state: rx.ReceiverState) -> None:
+    """Sharded checkpoint via orbax (multi-host channel batches)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(dirpath), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(dirpath: str, template: rx.ReceiverState) -> rx.ReceiverState:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(dirpath), template)

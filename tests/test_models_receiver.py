@@ -129,6 +129,23 @@ class TestChannelBatch:
 
 
 class TestRdsEndToEnd:
+    def test_mode2_rds_decodes(self):
+        """Mode 2: rational audio resampling (147/800) and the SPS=43 RDS
+        resampler (817/1920) — the deepest polyphase path."""
+        mc = cfg.get_mode_config(2)
+        res = synth.synthesize_fm(duration_s=0.3, mode=2, with_stereo=True,
+                                  with_rds=True, seed=19)
+        iq = synth.u8_to_float(res.iq_u8)
+        rx = trx.Receiver(2, stereo=False, with_rds=True)
+        outs = rx.run(iq)
+        dec = rds_decode.decode_robust(np.asarray(outs.rds_symbols),
+                                       mc.rds.sps)
+        sent = {tuple(w) for g in res.rds_info_bits for w in g}
+        hits = sum(tuple(w) in sent for w in dec.info_words)
+        assert len(dec.frames.matches) >= 8, dec.frames.matches
+        assert hits >= len(dec.frames.matches) - 2, (hits,
+                                                     len(dec.frames.matches))
+
     def test_tpu_chain_decodes_rds_frames(self, mode0_signal):
         iq, res = mode0_signal
         mc = cfg.get_mode_config(0)
