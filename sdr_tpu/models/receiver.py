@@ -177,13 +177,16 @@ def _audio_fir(x, h, state, mc: cfg.ModeConfig):
 
 def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   state: ReceiverState, mc: cfg.ModeConfig,
-                  stereo: bool = True, with_rds: bool = False
+                  stereo: bool = True, with_rds: bool = False,
+                  pallas_frontend: bool = False
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
     ``iq`` is normalized float interleaved I,Q,... of shape (..., 2*N_rf);
     leading dims are an independent-channel batch.  ``mc``/``stereo``/
-    ``with_rds`` must be static under jit.
+    ``with_rds``/``pallas_frontend`` must be static under jit.
+    ``pallas_frontend`` runs the RF I/Q decimating FIR as the fused Pallas
+    kernel (ops.pallas_fir) instead of the XLA conv.
     """
     s = state
     upd: dict = {}
@@ -192,10 +195,19 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     # --- RF front-end (ref src/project.cpp:40-152) -----------------------
     i_raw = iq[..., 0::2]
     q_raw = iq[..., 1::2]
-    i_ds, upd["rf_i"] = jfir.fir_block_decim(i_raw, coeffs.rf, s.rf_i,
-                                             mc.rf_decim)
-    q_ds, upd["rf_q"] = jfir.fir_block_decim(q_raw, coeffs.rf, s.rf_q,
-                                             mc.rf_decim)
+    if pallas_frontend:
+        from sdr_tpu.ops import pallas_fir
+        iq2 = jnp.stack([i_raw, q_raw], axis=-2)       # (..., 2, N_rf)
+        st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
+        ds2, nst2 = pallas_fir.fir_block_decim_pallas(iq2, coeffs.rf, st2,
+                                                      mc.rf_decim)
+        i_ds, q_ds = ds2[..., 0, :], ds2[..., 1, :]
+        upd["rf_i"], upd["rf_q"] = nst2[..., 0, :], nst2[..., 1, :]
+    else:
+        i_ds, upd["rf_i"] = jfir.fir_block_decim(i_raw, coeffs.rf, s.rf_i,
+                                                 mc.rf_decim)
+        q_ds, upd["rf_q"] = jfir.fir_block_decim(q_raw, coeffs.rf, s.rf_q,
+                                                 mc.rf_decim)
     fm, upd["demod_iq"] = jdemod.fm_demod_quad(i_ds, q_ds, s.demod_iq)
 
     # --- Mono, delay-matched to the band-pass arms (src/project.cpp:198) --
@@ -246,18 +258,21 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     return out, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds"))
-def _block_step(iq, coeffs, state, mode, stereo, with_rds):
+@functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds",
+                                             "pallas_frontend"))
+def _block_step(iq, coeffs, state, mode, stereo, with_rds,
+                pallas_frontend=False):
     mc = cfg.get_mode_config(mode)
     return process_block(iq, coeffs, state, mc, stereo=stereo,
-                         with_rds=with_rds)
+                         with_rds=with_rds, pallas_frontend=pallas_frontend)
 
 
 def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
-                  with_rds: bool = False):
+                  with_rds: bool = False, pallas_frontend: bool = False):
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode."""
     def fn(iq, coeffs, state):
-        return _block_step(iq, coeffs, state, int(mc.mode), stereo, with_rds)
+        return _block_step(iq, coeffs, state, int(mc.mode), stereo, with_rds,
+                           pallas_frontend)
     return fn
 
 
