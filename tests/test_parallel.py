@@ -26,6 +26,52 @@ def mesh8():
     return Mesh(np.array(devs[:8]), ("d",))
 
 
+class TestMultihostHelpers:
+    def test_make_mesh_layout(self):
+        from sdr_tpu.parallel import multihost
+        mesh = multihost.make_mesh(time_per_host=4)
+        assert mesh.shape == {"ch": 2, "time": 4}
+
+    def test_mesh_runs_2d_receive(self):
+        """The multihost-policy mesh drives the composed 2D program."""
+        from sdr_tpu.parallel import multihost
+        mesh = multihost.make_mesh(time_per_host=4)
+        mc = cfg.get_mode_config(0)
+        mult = mc.if_block_multiple(False)
+        overlap = 40 * mult
+        seg = 3 * overlap * 2 * mc.rf_decim
+        rng = np.random.default_rng(0)
+        iq = rng.uniform(-1, 1, (2, 4 * seg)).astype(np.float32)
+        outs = time_sharded_receive(iq, mesh, 0, stereo=True,
+                                    with_rds=False, overlap_if=overlap,
+                                    axis="time", batch_axis="ch")
+        assert np.isfinite(np.asarray(outs.left)).all()
+
+
+class TestNoiseRobustness:
+    def test_pure_noise_never_nans(self):
+        """Unlocked PLLs and zero-signal stretches must stay finite — the
+        failure-containment property behind the reference's NaN clamp."""
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, 256, 3 * bs, dtype=np.uint8)
+        iq = (raw.astype(np.float32) - 128.0) / 128.0
+        rx = trx.Receiver(0, stereo=True, with_rds=True)
+        for b in range(3):
+            out = rx.process(iq[b * bs:(b + 1) * bs])
+            for f in out._fields:
+                assert np.isfinite(np.asarray(getattr(out, f))).all(), f
+
+    def test_zero_input_stays_finite(self):
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        rx = trx.Receiver(0, stereo=True, with_rds=True)
+        out = rx.process(np.zeros(bs, np.float32))
+        for f in out._fields:
+            assert np.isfinite(np.asarray(getattr(out, f))).all(), f
+
+
 class TestChannelParallel:
     def test_matches_serial_per_channel(self, mesh8):
         mc = cfg.get_mode_config(0)

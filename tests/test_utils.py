@@ -70,6 +70,20 @@ class TestGenerators:
         assert abs(x).max() <= 5.0
 
 
+class TestAnim:
+    def test_gif_render(self, tmp_path):
+        """Per-block PSD animation renders headless
+        (ref model/fmMonoAnim.py)."""
+        from sdr_tpu.utils import anim, synth
+        res = synth.synthesize_fm(duration_s=0.1, mode=0, with_rds=False,
+                                  seed=4)
+        iq = synth.u8_to_float(res.iq_u8)
+        p = anim.animate_psd(iq, 0, arm="fm_demod",
+                             out_path=str(tmp_path / "psd.gif"),
+                             max_blocks=3)
+        assert os.path.getsize(p) > 5000
+
+
 class TestPlots:
     def test_psd_and_constellation_pngs(self, tmp_path):
         from sdr_tpu.utils import plotting
