@@ -76,6 +76,8 @@ class ReceiverState(NamedTuple):
     rds_pll: jpll.PllState
     rds_resampler: jnp.ndarray
     rds_rrc: jnp.ndarray
+    rds_resampler_q: jnp.ndarray
+    rds_rrc_q: jnp.ndarray
 
 
 class BlockOutputs(NamedTuple):
@@ -86,7 +88,8 @@ class BlockOutputs(NamedTuple):
     mono: jnp.ndarray
     left: jnp.ndarray
     right: jnp.ndarray
-    rds_symbols: jnp.ndarray  # RRC output (soft symbols at SPS*2375)
+    rds_symbols: jnp.ndarray    # RRC output (soft symbols at SPS*2375)
+    rds_symbols_q: jnp.ndarray  # quadrature debug arm (model/fmRDS.py:251-254)
 
 
 def design_coeffs(mc: cfg.ModeConfig, dtype=jnp.float32) -> ReceiverCoeffs:
@@ -151,6 +154,10 @@ def init_state(mc: cfg.ModeConfig, batch_shape: tuple[int, ...] = (),
         rds_resampler=(z(gfilt.resample_state_len(r.resampler_taps, r.upsamp))
                        if r else z(0)),
         rds_rrc=z(r.rrc_taps - 1) if r else z(0),
+        rds_resampler_q=(z(gfilt.resample_state_len(r.resampler_taps,
+                                                    r.upsamp))
+                         if r else z(0)),
+        rds_rrc_q=z(r.rrc_taps - 1) if r else z(0),
     )
 
 
@@ -178,7 +185,8 @@ def _audio_fir(x, h, state, mc: cfg.ModeConfig):
 def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   state: ReceiverState, mc: cfg.ModeConfig,
                   stereo: bool = True, with_rds: bool = False,
-                  pallas_frontend: bool = False
+                  pallas_frontend: bool = False,
+                  rds_debug_q: bool = False
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
@@ -241,38 +249,51 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         carrier, upd["rds_carrier"] = jfir.fir_block(chan * chan,
                                                      coeffs.rds_carrier,
                                                      s.rds_carrier)
-        nco_r, _, upd["rds_pll"] = jpll.pll_block(carrier, s.rds_pll,
-                                                  rds_pll_params(mc))
+        nco_r, nco_rq, upd["rds_pll"] = jpll.pll_block(carrier, s.rds_pll,
+                                                       rds_pll_params(mc))
         rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
         resampled, upd["rds_resampler"] = jfir.fir_block_resample(
             rds_mixer, coeffs.rds_resampler, s.rds_resampler,
             r.decim, r.upsamp)
         symbols, upd["rds_rrc"] = jfir.fir_block(resampled, coeffs.rds_rrc,
                                                  s.rds_rrc)
+        symbols_q = empty
+        if rds_debug_q:
+            # quadrature debug arm for constellation inspection
+            # (model/fmRDS.py:251-254): same chain mixed with the Q NCO
+            mixer_q = nco_rq[..., :-1] * chan_delayed * 2.0
+            res_q, upd["rds_resampler_q"] = jfir.fir_block_resample(
+                mixer_q, coeffs.rds_resampler, s.rds_resampler_q,
+                r.decim, r.upsamp)
+            symbols_q, upd["rds_rrc_q"] = jfir.fir_block(
+                res_q, coeffs.rds_rrc, s.rds_rrc_q)
     else:
-        symbols = empty
+        symbols = symbols_q = empty
 
     new_state = s._replace(**upd)
     out = BlockOutputs(fm_demod=fm, mono=mono, left=left, right=right,
-                       rds_symbols=symbols)
+                       rds_symbols=symbols, rds_symbols_q=symbols_q)
     return out, new_state
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds",
-                                             "pallas_frontend"))
+                                             "pallas_frontend",
+                                             "rds_debug_q"))
 def _block_step(iq, coeffs, state, mode, stereo, with_rds,
-                pallas_frontend=False):
+                pallas_frontend=False, rds_debug_q=False):
     mc = cfg.get_mode_config(mode)
     return process_block(iq, coeffs, state, mc, stereo=stereo,
-                         with_rds=with_rds, pallas_frontend=pallas_frontend)
+                         with_rds=with_rds, pallas_frontend=pallas_frontend,
+                         rds_debug_q=rds_debug_q)
 
 
 def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
-                  with_rds: bool = False, pallas_frontend: bool = False):
+                  with_rds: bool = False, pallas_frontend: bool = False,
+                  rds_debug_q: bool = False):
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode."""
     def fn(iq, coeffs, state):
         return _block_step(iq, coeffs, state, int(mc.mode), stereo, with_rds,
-                           pallas_frontend)
+                           pallas_frontend, rds_debug_q)
     return fn
 
 

@@ -146,6 +146,32 @@ class TestRdsEndToEnd:
         assert hits >= len(dec.frames.matches) - 2, (hits,
                                                      len(dec.frames.matches))
 
+    def test_quadrature_debug_arm_constellation(self, mode0_signal):
+        """With the carrier-recovery PLL locked, BPSK energy concentrates
+        on the I axis — the constellation check the reference used to tune
+        its PLL phase (model/fmRDS.py:305-307)."""
+        iq, _ = mode0_signal
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(True)
+        fn = trx.make_block_fn(mc, stereo=False, with_rds=True,
+                               rds_debug_q=True)
+        coeffs = trx.design_coeffs(mc)
+        state = trx.init_state(mc)
+        si, sq = [], []
+        for b in range(len(iq) // bs):
+            out, state = fn(jnp.asarray(iq[b * bs:(b + 1) * bs],
+                                        jnp.float32), coeffs, state)
+            si.append(np.asarray(out.rds_symbols))
+            sq.append(np.asarray(out.rds_symbols_q))
+        i_all = np.concatenate(si)[4000:]
+        q_all = np.concatenate(sq)[4000:]
+        sps = mc.rds.sps
+        from sdr_tpu.golden import rds as grds
+        _, phase, _ = grds.cdr_robust(i_all, sps)
+        ei = np.mean(np.abs(i_all[phase::sps]))
+        eq = np.mean(np.abs(q_all[phase::sps]))
+        assert ei > 2.5 * eq, (ei, eq)
+
     def test_tpu_chain_decodes_rds_frames(self, mode0_signal):
         iq, res = mode0_signal
         mc = cfg.get_mode_config(0)
