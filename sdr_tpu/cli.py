@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="raw u8 samples per block (default per-mode)")
     p.add_argument("--stats", action="store_true",
                    help="print throughput stats to stderr at EOF")
+    p.add_argument("--pallas", action="store_true",
+                   help="run the RF front-end as the fused Pallas kernel")
+    p.add_argument("--save-state", metavar="PATH",
+                   help="checkpoint receiver state to PATH (.npz) at EOF")
+    p.add_argument("--resume", metavar="PATH",
+                   help="resume from a state checkpoint (.npz)")
     return p
 
 
@@ -61,6 +67,17 @@ def main(argv=None) -> int:
     bs = args.block_size or mc.default_block_size(with_rds)
 
     receiver = rx.Receiver(args.mode, stereo=args.stereo, with_rds=with_rds)
+    if args.pallas:
+        receiver._fn = rx.make_block_fn(receiver.mc, receiver.stereo,
+                                        receiver.with_rds,
+                                        pallas_frontend=True)
+    block_count = 0
+    if args.resume:
+        from sdr_tpu import checkpoint
+        receiver.state, meta = checkpoint.load(args.resume)
+        block_count = meta.get("block_count", 0)
+        print(f"resumed from {args.resume} at block {block_count}",
+              file=sys.stderr)
 
     in_stream = sio.stdin_binary() if args.input == "-" else open(
         args.input, "rb")
@@ -102,6 +119,12 @@ def main(argv=None) -> int:
             in_stream.close()
 
     dt = time.time() - t0
+    if args.save_state:
+        from sdr_tpu import checkpoint
+        checkpoint.save(args.save_state, receiver.state, args.mode,
+                        block_count=block_count + n_blocks)
+        print(f"state saved to {args.save_state} "
+              f"(block {block_count + n_blocks})", file=sys.stderr)
     if args.wav:
         audio = (np.concatenate(audio_accum)
                  if audio_accum else np.zeros((0,), np.float32))

@@ -68,6 +68,27 @@ class TestCli:
         assert np.abs(pcm.astype(np.int32)).max() > 1000  # real audio
         assert b"MS/s" in r.stderr
 
+    def test_checkpoint_resume_splits_identically(self, raw_file, tmp_path):
+        """Processing a file in two CLI invocations with --save-state /
+        --resume yields byte-identical PCM to one invocation."""
+        path, _ = raw_file
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(False)
+        data = np.fromfile(path, dtype=np.uint8)
+        n2 = 2 * bs
+        p1, p2 = tmp_path / "a.raw", tmp_path / "b.raw"
+        data[:n2].tofile(p1)
+        data[n2:].tofile(p2)
+        st = str(tmp_path / "ck.npz")
+
+        full = self._run(["--mode", "0", path])
+        assert full.returncode == 0, full.stderr.decode()
+
+        r1 = self._run(["--mode", "0", str(p1), "--save-state", st])
+        r2 = self._run(["--mode", "0", str(p2), "--resume", st])
+        assert r1.returncode == 0 and r2.returncode == 0, r2.stderr.decode()
+        assert r1.stdout + r2.stdout == full.stdout
+
     def test_stereo_wav_and_rds(self, raw_file, tmp_path):
         path, res = raw_file
         out = str(tmp_path / "out.wav")
