@@ -51,6 +51,22 @@ class TestParityVsGolden:
             np.testing.assert_allclose(out.rds_symbols, g.rds_symbols,
                                        atol=5e-3)
 
+    @pytest.mark.parametrize("mode", [1, 2, 3])
+    def test_stereo_parity_other_modes(self, mode):
+        """Stereo L/R parity vs golden across the integer (1) and rational
+        (2: 147/800, 3: 441/3200) audio resampler modes."""
+        mc = cfg.get_mode_config(mode)
+        res = synth.synthesize_fm(duration_s=0.12, mode=mode,
+                                  with_stereo=True, with_rds=False, seed=6)
+        iq = synth.u8_to_float(res.iq_u8)
+        bs = mc.default_block_size()
+        gouts = _golden_run(iq, mc, True, False, bs)
+        rx = trx.Receiver(mode, stereo=True)
+        for b in range(min(len(iq) // bs, 3)):
+            out = rx.process(iq[b * bs:(b + 1) * bs])
+            np.testing.assert_allclose(out.left, gouts[b].left, atol=6e-3)
+            np.testing.assert_allclose(out.right, gouts[b].right, atol=6e-3)
+
     @pytest.mark.parametrize("mode", [1, 3])
     def test_mono_parity_other_modes(self, mode):
         mc = cfg.get_mode_config(mode)
