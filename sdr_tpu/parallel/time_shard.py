@@ -36,8 +36,10 @@ from sdr_tpu import config as cfg
 from sdr_tpu.models import receiver as rx
 
 
-def _out_len(n_if: int, mc: cfg.ModeConfig) -> int:
-    return n_if * mc.audio_upsamp // mc.audio_decim
+def default_block_if(mc: cfg.ModeConfig, with_rds: bool = False) -> int:
+    """Smallest whole-multiple IF block length >= 5000 samples."""
+    mult = mc.if_block_multiple(with_rds)
+    return -(-5000 // mult) * mult
 
 
 def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
@@ -45,15 +47,20 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
                          with_rds: bool = False,
                          overlap_if: Optional[int] = None,
                          axis: str = "time",
-                         batch_axis: Optional[str] = None) -> rx.BlockOutputs:
+                         batch_axis: Optional[str] = None,
+                         block_if: Optional[int] = None) -> rx.BlockOutputs:
     """Process one recording time-sharded over ``mesh`` axis ``axis``.
 
     ``iq``: (n,) normalized interleaved IQ; n must divide evenly into
-    S = mesh.shape[axis] segments whose IF length is a whole block multiple.
+    S = mesh.shape[axis] segments, each a whole number of ``block_if``-IF
+    blocks.  Within a shard the segment streams through a ``lax.scan`` of
+    block steps — device memory stays O(block), so arbitrarily long
+    recordings shard without materializing a segment-sized intermediate.
     ``overlap_if`` is the per-shard warm-up prefix in IF samples (default
-    the smallest block multiple >= 6k samples: enough for FIR depth and PLL
-    re-lock).  Returns globally assembled outputs (overlap discarded),
-    laid out exactly like a contiguous run.
+    the smallest whole-block count >= 6k samples: beyond FIR depth with
+    pilot-PLL re-lock runway); it is rounded up to whole blocks and its
+    outputs are discarded.  Returns globally assembled outputs laid out
+    exactly like a contiguous run.
 
     With ``batch_axis`` set, ``iq`` is (C, n): a channel batch sharded over
     a second mesh axis — time and channel parallelism composed on one 2D
@@ -64,20 +71,26 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     s = mesh.shape[axis]
 
     mult = mc.if_block_multiple(with_rds)
+    if block_if is None:
+        block_if = default_block_if(mc, with_rds)
+    assert block_if % mult == 0, (block_if, mult)
     if overlap_if is None:
-        # smallest block multiple >= 6000 IF samples (~25 ms: beyond FIR
-        # depth and enough pilot-PLL re-lock runway, tests/test_parallel.py)
-        overlap_if = -(-6000 // mult) * mult
-    assert overlap_if % mult == 0, (overlap_if, mult)
+        overlap_if = 6000
+    # overlap must be whole blocks so the scan can discard whole steps
+    n_skip_blocks = -(-overlap_if // block_if)
+    overlap_if = n_skip_blocks * block_if
 
     raw_per_if = 2 * mc.rf_decim
+    block_raw = block_if * raw_per_if
     n = iq.shape[-1]
     seg = n // s
     assert seg * s == n, "recording must split evenly across shards"
-    assert seg % (mult * raw_per_if) == 0, (
-        f"segment of {seg} raw samples is not a block multiple")
+    assert seg % block_raw == 0, (
+        f"segment of {seg} raw samples is not a whole number of "
+        f"{block_raw}-sample blocks")
     halo_raw = overlap_if * raw_per_if
     assert halo_raw <= seg, "overlap larger than a segment"
+    n_blocks = seg // block_raw + n_skip_blocks
 
     coeffs = rx.design_coeffs(mc)
 
@@ -102,18 +115,24 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         halo = lax.ppermute(iq_local[..., -halo_raw:], axis,
                             [(i, i + 1) for i in range(s - 1)])
         ext = jnp.concatenate([halo, iq_local], axis=-1)
-        state = rx.init_state(mc, batch_shape=ext.shape[:-1])
-        out, _ = rx.process_block(ext, coeffs, state, mc, stereo=stereo,
-                                  with_rds=with_rds)
-        # discard the overlap region from every output arm
-        audio_skip = _out_len(overlap_if, mc)
-        skips = {"fm_demod": overlap_if, "mono": audio_skip,
-                 "left": audio_skip, "right": audio_skip}
-        if with_rds:
-            r = mc.rds
-            skips["rds_symbols"] = overlap_if * r.upsamp // r.decim
-        full = out._asdict()
-        return {a: full[a][..., skips[a]:] for a in arms}
+        lead = ext.shape[:-1]
+        blocks = jnp.moveaxis(
+            ext.reshape(lead + (n_blocks, block_raw)), -2, 0)
+        state = rx.init_state(mc, batch_shape=lead)
+
+        def step(st, blk):
+            out, st = rx.process_block(blk, coeffs, st, mc, stereo=stereo,
+                                       with_rds=with_rds)
+            return st, {a: out._asdict()[a] for a in arms}
+
+        _, outs = lax.scan(step, state, blocks)
+        # drop the warm-up blocks, then flatten time: (n_blk, ..., per) ->
+        # (..., n_blk * per)
+        kept = {}
+        for a in arms:
+            o = jnp.moveaxis(outs[a][n_skip_blocks:], 0, -2)
+            kept[a] = o.reshape(lead + (-1,))
+        return kept
 
     sharding = NamedSharding(mesh, spec)
     iq_dev = jax.device_put(jnp.asarray(iq, dtype=jnp.float32), sharding)

@@ -44,6 +44,7 @@ class TestMultihostHelpers:
         iq = rng.uniform(-1, 1, (2, 4 * seg)).astype(np.float32)
         outs = time_sharded_receive(iq, mesh, 0, stereo=True,
                                     with_rds=False, overlap_if=overlap,
+                                    block_if=overlap,
                                     axis="time", batch_axis="ch")
         assert np.isfinite(np.asarray(outs.left)).all()
 
@@ -116,8 +117,9 @@ class TestTimeSharded:
         return synth.u8_to_float(res.iq_u8), res
 
     def _trim(self, iq, mc, s, with_rds):
-        mult = mc.if_block_multiple(with_rds) * 2 * mc.rf_decim
-        seg = (iq.shape[-1] // s) // mult * mult
+        from sdr_tpu.parallel.time_shard import default_block_if
+        gran = default_block_if(mc, with_rds) * 2 * mc.rf_decim
+        seg = (iq.shape[-1] // s) // gran * gran
         return iq[: seg * s]
 
     def test_linear_arms_match_contiguous_exactly(self, mesh8, recording):
