@@ -1,0 +1,148 @@
+"""Cross-validation against the UPSTREAM reference implementation itself.
+
+When the reference checkout is present (read-only at /root/reference),
+import its Python model library and compare our golden layer to it on
+identical inputs — the strongest possible parity evidence, mirroring the
+spec's own "bit equivalence is expected" gate (SURVEY.md §4.2).  Skipped
+cleanly when the reference tree is absent.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+REF_LIB = "/root/reference/model/fmSupportLib.py"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_LIB),
+                                reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location("ref_fmSupportLib", REF_LIB)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+from sdr_tpu.golden import demod as gdemod
+from sdr_tpu.golden import filters as gfilt
+from sdr_tpu.golden import pll as gpll
+from sdr_tpu.golden import rds as grds
+from sdr_tpu.golden import spectrum as gspec
+
+
+class TestCoefficients:
+    def test_lowpass(self, ref):
+        np.testing.assert_allclose(gfilt.lowpass_taps(101, 240e3, 16e3),
+                                   ref.impResponse(101, 240e3, 16e3),
+                                   atol=1e-12)
+
+    def test_bandpass(self, ref):
+        np.testing.assert_allclose(
+            gfilt.bandpass_taps(151, 240e3, 18.5e3, 19.5e3),
+            ref.bandPass(151, 240e3, 18.5e3, 19.5e3), atol=1e-12)
+
+    def test_rrc(self, ref):
+        np.testing.assert_allclose(gfilt.rrc_taps(26 * 2375.0, 101),
+                                   ref.impulseResponseRootRaisedCosine(
+                                       26 * 2375.0, 101), atol=1e-12)
+
+
+class TestKernels:
+    def test_decimating_fir_streaming(self, ref, rng):
+        h = gfilt.lowpass_taps(101, 240e3, 16e3)
+        x = rng.normal(size=4000)
+        ours_state = np.zeros(100)
+        ref_state = np.zeros(100)
+        for b in range(2):
+            blk = x[b * 2000:(b + 1) * 2000]
+            ours, ours_state = gfilt.block_fir_decim(blk, h, ours_state, 5)
+            theirs, ref_state = ref.convolveBlockFastFIR(blk, h,
+                                                         ref_state, 5)
+            np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+    def test_rational_resampler_streaming(self, ref, rng):
+        u, d = 147, 800
+        h = gfilt.lowpass_taps(101 * u, 240e3 * u, 16e3)
+        n = 1600
+        x = rng.normal(size=2 * n)
+        ours_state = np.zeros(gfilt.resample_state_len(len(h), u))
+        ref_state = np.zeros(len(h) - 1)
+        for b in range(2):
+            blk = x[b * n:(b + 1) * n]
+            ours, ours_state = gfilt.block_fir_resample(blk, h, ours_state,
+                                                        d, u)
+            theirs, ref_state = ref.convolveBlockResampleFIR(
+                blk, h, ref_state, d, u)
+            np.testing.assert_allclose(ours, theirs, atol=1e-9,
+                                       err_msg=f"block {b}")
+
+    def test_fm_demod(self, ref, rng):
+        i = rng.normal(size=1000) + 2.0
+        q = rng.normal(size=1000)
+        ours, _ = gdemod.fm_demod_quad(i, q, np.zeros(2))
+        theirs, _ = ref.compEffDemod(i, q, np.zeros(2))
+        np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+    def test_pll_streaming(self, ref):
+        fs = 240e3
+        t = np.arange(4000) / fs
+        x = 0.4 * np.sin(2 * np.pi * 19015 * t + 0.2)
+        ours_state = gpll.PllState()  # defaults mirror [0,0,1,0,1,0,1]
+        ref_state = [0.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+        for b in range(2):
+            blk = x[b * 2000:(b + 1) * 2000]
+            oi, oq, ours_state = gpll.fm_pll(blk, 19e3, fs, ours_state,
+                                             nco_scale=2.0)
+            ti, tq, ref_state = ref.fmPll(blk, 19e3, fs, ref_state,
+                                          ncoScale=2.0)
+            np.testing.assert_allclose(oi, ti, atol=1e-9)
+            np.testing.assert_allclose(oq, tq, atol=1e-9)
+
+
+class TestSpectrum:
+    def test_psd(self, ref, rng):
+        fs = 240e3
+        x = np.sin(2 * np.pi * 19e3 * np.arange(4096) / fs)
+        _, ours = gspec.estimate_psd(x, 512, fs)
+        theirs = ref.estimatePSD(x, 512, fs)
+        # reference returns (freq, psd) or psd depending on version
+        theirs_psd = theirs[1] if isinstance(theirs, tuple) else theirs
+        np.testing.assert_allclose(ours, np.asarray(theirs_psd).reshape(-1),
+                                   atol=1e-6)
+
+
+class TestRdsDecode:
+    def test_gf2_syndromes_match_matrixMult(self, ref, rng):
+        bits = rng.integers(0, 2, size=26)
+        ours = grds.gf2_syndrome(bits)
+        theirs = ref.matrixMult(bits, grds.PARITY_MATRIX.tolist())
+        np.testing.assert_array_equal(ours, theirs.astype(np.int64))
+
+    def test_framesync_agrees_on_encoded_stream(self, ref):
+        from sdr_tpu.utils.synth import rds_encode_groups
+        _, framed = rds_encode_groups(np.random.default_rng(5), 2)
+        ours = grds.frame_sync(framed)
+        offset, consumed = ref.framesync(framed)
+        # the reference reports only the LAST matched offset, and its loop
+        # bound (n < len-26) never examines the final complete block
+        # (SURVEY.md §2.5) — compare against our last match before that
+        in_their_range = [off for pos, off in ours.matches
+                          if pos < len(framed) - 26]
+        assert in_their_range[-1] == offset
+        assert ours.matches[0][0] == 0  # stream starts on a block boundary
+        # and ours additionally finds every block, including the last
+        assert len(ours.matches) == len(framed) // 26
+
+    def test_diff_and_manchester(self, ref, rng):
+        soft = np.where(rng.integers(0, 2, size=200) > 0, 0.8, -0.8)
+        ours = grds.manchester_decode(soft)
+        theirs = np.asarray(ref.manchestering(soft), dtype=np.int64)
+        np.testing.assert_array_equal(ours, theirs)
+        bits = rng.integers(0, 2, size=64)
+        np.testing.assert_array_equal(
+            grds.diff_decode(bits),
+            np.asarray(ref.diff_decoding(bits), dtype=np.int64))
