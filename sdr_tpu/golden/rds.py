@@ -246,6 +246,44 @@ def cdr(x: np.ndarray, sps: int, state: CdrState,
     return bits, new_state
 
 
+def cdr_tracking(x: np.ndarray, sps: int,
+                 window_symbols: int = 256) -> np.ndarray:
+    """Clock-drift-tracking CDR: windowed phase/parity re-estimation.
+
+    Real transmit oscillators drift against the receiver grid (tens of ppm
+    accumulate to whole samples over seconds); a single global sampling
+    phase then walks off the symbol peaks.  This decoder re-estimates the
+    phase per ``window_symbols`` window (with hysteresis so it only moves
+    when clearly better) and the Manchester pairing parity per window via
+    sign-alternation, emitting Manchester bits per window.  Occasional
+    one-bit slips at window boundaries are absorbed by the sliding-window
+    frame synchronizer downstream.
+    """
+    x = np.asarray(x)
+    w = window_symbols * sps
+    out: list[np.ndarray] = []
+    prev_phase: int | None = None
+    for w0 in range(0, len(x), w):
+        win = x[w0:w0 + w]
+        if len(win) < 4 * sps:
+            break
+        energies = np.array([np.abs(win[p::sps]).mean()
+                             for p in range(sps)])
+        phase = int(np.argmax(energies))
+        if prev_phase is not None and (
+                energies[phase] < 1.1 * energies[prev_phase]):
+            phase = prev_phase
+        prev_phase = phase
+        s = win[phase::sps]
+        n2 = (len(s) - 1) // 2
+        alt0 = np.mean(np.sign(s[0:2 * n2:2]) != np.sign(s[1:2 * n2:2]))
+        alt1 = np.mean(np.sign(s[1:1 + 2 * n2:2])
+                       != np.sign(s[2:2 + 2 * n2:2]))
+        parity = 0 if alt0 >= alt1 else 1
+        out.append(manchester_decode(s[parity:]))
+    return (np.concatenate(out) if out else np.zeros(0, np.int64))
+
+
 def cdr_robust(x: np.ndarray, sps: int, phase: int | None = None,
                parity: int | None = None) -> tuple[np.ndarray, int, int]:
     """Vectorized, restart-free CDR used by the production TPU path.

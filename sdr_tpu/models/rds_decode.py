@@ -36,14 +36,20 @@ def _info_words(bits: np.ndarray,
                     dtype=np.int64).reshape(-1, 16)
 
 
-def decode_robust(symbols: np.ndarray, sps: int) -> RdsDecodeResult:
+def decode_robust(symbols: np.ndarray, sps: int,
+                  window_symbols: int | None = None) -> RdsDecodeResult:
     """Decode a whole soft-symbol stream (concatenated RRC outputs).
 
     ``symbols`` may be (n_blocks, sym_len) stacked scan output or a flat
-    stream; blocks are concatenated in time order.
+    stream; blocks are concatenated in time order.  ``window_symbols``
+    enables the clock-drift-tracking CDR (golden.rds.cdr_tracking) for
+    inputs whose transmit symbol clock drifts against the receiver grid.
     """
     x = np.asarray(symbols).reshape(-1)
-    manch, _, _ = grds.cdr_robust(x, sps)
+    if window_symbols:
+        manch = grds.cdr_tracking(x, sps, window_symbols)
+    else:
+        manch, _, _ = grds.cdr_robust(x, sps)
     bits = grds.diff_decode(manch)
     frames = grds.frame_sync(bits)
     return RdsDecodeResult(bits, frames, _info_words(bits, frames))

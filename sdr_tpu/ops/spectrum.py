@@ -43,15 +43,32 @@ def hann_sin2(n: int) -> np.ndarray:
 
 
 def estimate_psd(samples: jnp.ndarray, nfft: int = NFFT_DEFAULT,
-                 fs: float = 1.0) -> tuple[np.ndarray, jnp.ndarray]:
+                 fs: float = 1.0,
+                 use_matmul_dft: bool = False) -> tuple[np.ndarray, jnp.ndarray]:
     """Bartlett PSD in dB/Hz, positive frequencies — device-side equivalent
-    of the golden estimate (model/fmSupportLib.py:554-631)."""
+    of the golden estimate (model/fmSupportLib.py:554-631).
+
+    ``use_matmul_dft=True`` evaluates the segment DFTs as one real-valued
+    (n_seg, nfft) x (nfft, nfft) matmul pair against cos/sin bases — at the
+    NFFT=512 the reference uses (include/dy4.h:27) this maps straight onto
+    the MXU and replaces the reference's three hand-written FFT variants
+    (src/fourier.cpp:175-260) with the TPU's native primitive.
+    """
     n_seg = samples.shape[-1] // nfft
     half = nfft // 2
     seg = samples[..., : n_seg * nfft].reshape(
         samples.shape[:-1] + (n_seg, nfft)) * jnp.asarray(hann_sin2(nfft))
-    xf = jnp.fft.fft(seg, nfft, axis=-1)[..., :half]
-    psd = 2.0 * jnp.abs(xf) ** 2 / (fs * nfft / 2)
+    if use_matmul_dft:
+        w = _dft_matrix(nfft)[:, :half]
+        wr = jnp.asarray(np.ascontiguousarray(w.real))
+        wi = jnp.asarray(np.ascontiguousarray(w.imag))
+        re = jnp.matmul(seg, wr, preferred_element_type=jnp.float32)
+        im = jnp.matmul(seg, wi, preferred_element_type=jnp.float32)
+        mag2 = re * re + im * im
+    else:
+        xf = jnp.fft.fft(seg, nfft, axis=-1)[..., :half]
+        mag2 = jnp.abs(xf) ** 2
+    psd = 2.0 * mag2 / (fs * nfft / 2)
     psd_db = 10.0 * jnp.log10(psd)
     freq = np.arange(0, fs / 2, fs / nfft)[:half]
     return freq, psd_db.mean(axis=-2)

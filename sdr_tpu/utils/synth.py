@@ -115,8 +115,13 @@ class SynthResult:
 
 
 def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
-                         n_groups: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """RRC-shaped bipolar Manchester symbol stream at rf_fs, length n."""
+                         n_groups: int, clock_ppm: float = 0.0
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RRC-shaped bipolar Manchester symbol stream at rf_fs, length n.
+
+    ``clock_ppm`` offsets the transmit symbol clock (parts-per-million) to
+    model real hardware oscillators drifting against the receiver's grid.
+    """
     from sdr_tpu.golden.filters import rrc_taps
 
     info, framed = rds_encode_groups(rng, n_groups)
@@ -124,7 +129,7 @@ def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
     # Biphase-element rate IS the 2375 sym/s the receiver chain samples at
     # (config.RDS_SYMBOL_RATE; model/fmSupportLib.py:264 T = 1/2375): each
     # 1187.5 bit/s bit becomes two elements at 2375/s.
-    sym_rate = cfg.RDS_SYMBOL_RATE
+    sym_rate = cfg.RDS_SYMBOL_RATE * (1.0 + clock_ppm * 1e-6)
     # impulse train at rf_fs
     idx = np.round(np.arange(len(symbols)) * rf_fs / sym_rate).astype(np.int64)
     idx = idx[idx < n]
@@ -146,7 +151,8 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
                   seed: int = 0, tone_l: float = 800.0, tone_r: float = 1500.0,
                   with_stereo: bool = True, with_rds: bool = True,
                   deviation_hz: float = 75e3,
-                  noise_std: float = 0.0) -> SynthResult:
+                  noise_std: float = 0.0,
+                  rds_clock_ppm: float = 0.0) -> SynthResult:
     """Synthesize an FM station and return u8 IQ + ground truth."""
     mc = cfg.get_mode_config(mode)
     rng = np.random.default_rng(seed)
@@ -172,7 +178,7 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
     if with_rds and mc.rds is not None:
         n_groups = max(2, int(duration_s * cfg.RDS_SYMBOL_RATE / 2 / 104) + 1)
         shaped, rds_info, rds_framed = _shaped_rds_baseband(
-            n, rf_fs, rng, n_groups)
+            n, rf_fs, rng, n_groups, clock_ppm=rds_clock_ppm)
         pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * t
         # 57 kHz = 3x pilot, phase-locked
         mpx = mpx + 0.06 * shaped * np.sin(3.0 * pilot_phase)

@@ -162,6 +162,28 @@ class TestRdsEndToEnd:
         assert hits >= len(dec.frames.matches) - 2, (hits,
                                                      len(dec.frames.matches))
 
+    def test_clock_drift_tracking_cdr(self):
+        """With a 1500 ppm transmit-clock offset the sampling phase drifts
+        ~1.8 symbols over the capture: the fixed-phase CDR degrades while
+        the windowed tracker keeps recovering frames."""
+        mc = cfg.get_mode_config(0)
+        res = synth.synthesize_fm(duration_s=0.5, mode=0, with_stereo=False,
+                                  with_rds=True, seed=23,
+                                  rds_clock_ppm=1500.0)
+        iq = synth.u8_to_float(res.iq_u8)
+        rx = trx.Receiver(0, stereo=False, with_rds=True)
+        outs = rx.run(iq)
+        sym = np.asarray(outs.rds_symbols)
+        sent = {tuple(w) for g in res.rds_info_bits for w in g}
+
+        dec_track = rds_decode.decode_robust(sym, mc.rds.sps,
+                                             window_symbols=128)
+        hits_track = sum(tuple(w) in sent for w in dec_track.info_words)
+        dec_fixed = rds_decode.decode_robust(sym, mc.rds.sps)
+        hits_fixed = sum(tuple(w) in sent for w in dec_fixed.info_words)
+        assert hits_track >= 12, (hits_track, len(dec_track.frames.matches))
+        assert hits_track > hits_fixed, (hits_track, hits_fixed)
+
     def test_quadrature_debug_arm_constellation(self, mode0_signal):
         """With the carrier-recovery PLL locked, BPSK energy concentrates
         on the I axis — the constellation check the reference used to tune

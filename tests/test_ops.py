@@ -178,6 +178,15 @@ class TestSpectrum:
         back = jspec.idft_matmul(jspec.dft_matmul(jnp.asarray(x)))
         np.testing.assert_allclose(np.real(back), x, atol=1e-3)
 
+    def test_psd_matmul_dft_matches_fft_path(self, rng):
+        fs = 240e3
+        x = (np.sin(2 * np.pi * 57e3 * np.arange(4096) / fs)
+             + 0.05 * rng.normal(size=4096)).astype(np.float32)
+        _, p_fft = jspec.estimate_psd(_f32(x), 512, fs)
+        _, p_mm = jspec.estimate_psd(_f32(x), 512, fs, use_matmul_dft=True)
+        np.testing.assert_allclose(np.asarray(p_mm), np.asarray(p_fft),
+                                   atol=1e-2)
+
     def test_psd_matches_golden(self, rng):
         fs = 240e3
         t = np.arange(8192) / fs
