@@ -64,6 +64,57 @@ def trace_to(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def profile_stages(mode: int = 0, n_blocks: int = 20,
+                   with_rds: bool = True) -> dict[str, float]:
+    """Per-arm wall-clock attribution by configuration deltas.
+
+    XLA fuses the whole block DAG, so individual stages cannot be timed
+    in-program from the host (the reference's chrono spans,
+    src/project.cpp:193-290, have no direct analog).  Instead the receiver
+    runs in nested configurations — front-end+mono, +stereo, +RDS — and
+    the deltas attribute time to each arm.  Returns per-block milliseconds
+    per configuration plus derived arm costs.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdr_tpu.models import receiver as rx
+    from sdr_tpu.utils import synth
+
+    mc = cfg.get_mode_config(mode)
+    with_rds = with_rds and mc.rds is not None
+    bs = mc.default_block_size(with_rds)
+    res = synth.synthesize_fm(duration_s=0.1, mode=mode, with_rds=with_rds,
+                              seed=0)
+    iq = synth.u8_to_float(res.iq_u8)[:bs]
+    blk = jnp.asarray(iq, jnp.float32)
+    coeffs = rx.design_coeffs(mc)
+
+    def run(stereo, rds):
+        fn = rx.make_block_fn(mc, stereo=stereo, with_rds=rds)
+        st = rx.init_state(mc)
+        out, st = fn(blk, coeffs, st)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            out, st = fn(blk, coeffs, st)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_blocks * 1e3
+
+    mono = run(False, False)
+    stereo = run(True, False)
+    result = {"mono_ms": mono, "stereo_ms": stereo,
+              "stereo_arm_ms": stereo - mono,
+              "realtime_budget_ms": bs / 2 / mc.rf_fs * 1e3}
+    if with_rds:
+        full = run(True, True)
+        result["stereo_rds_ms"] = full
+        result["rds_arm_ms"] = full - stereo
+    return result
+
+
 def mac_per_audio_sample(mc: cfg.ModeConfig, stereo: bool = False,
                          taps: int = 101) -> float:
     """MAC per output audio sample (report Table 1 model).

@@ -42,6 +42,22 @@ class TestNpzRoundtrip:
             np.testing.assert_array_equal(np.asarray(out.rds_symbols),
                                           np.asarray(outs1[b].rds_symbols))
 
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax
+        rx1 = trx.Receiver(0, stereo=True, with_rds=True)
+        # make the state non-trivial
+        res = synth.synthesize_fm(duration_s=0.05, mode=0, seed=2)
+        iq = synth.u8_to_float(res.iq_u8)
+        bs = cfg.get_mode_config(0).default_block_size(True)
+        rx1.process(iq[:bs])
+        d = str(tmp_path / "orbax_ck")
+        checkpoint.save_orbax(d, rx1.state)
+        template = trx.init_state(cfg.get_mode_config(0))
+        restored = checkpoint.load_orbax(d, template)
+        for a, b in zip(jax.tree.leaves(restored),
+                        jax.tree.leaves(rx1.state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_meta_and_shapes_preserved(self, tmp_path):
         mc = cfg.get_mode_config(2)
         rx1 = trx.Receiver(2, stereo=True, with_rds=True)

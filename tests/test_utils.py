@@ -43,6 +43,15 @@ class TestStageTimer:
         assert "front_end" in rep and "audio" in rep
 
 
+class TestStageProfile:
+    def test_profile_stages_reports_arms(self):
+        r = profiling.profile_stages(mode=0, n_blocks=2)
+        for k in ("mono_ms", "stereo_ms", "stereo_arm_ms",
+                  "stereo_rds_ms", "rds_arm_ms", "realtime_budget_ms"):
+            assert k in r, k
+        assert r["mono_ms"] > 0 and r["realtime_budget_ms"] == 24.0
+
+
 class TestLogfiles:
     def test_dat_format(self, tmp_path):
         path = logfiles.log_vector("vec", [1.5, -2.25], out_dir=str(tmp_path))
