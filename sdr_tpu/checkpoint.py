@@ -36,16 +36,23 @@ def _flatten_with_paths(state: rx.ReceiverState) -> dict[str, np.ndarray]:
 
 
 def save(path: str, state: rx.ReceiverState, mode: int | cfg.Mode,
-         block_count: int = 0, extra: dict[str, Any] | None = None) -> None:
-    """Write state + metadata to ``<path>`` (.npz)."""
+         block_count: int = 0, extra: dict[str, Any] | None = None) -> str:
+    """Write state + metadata to ``<path>`` (.npz appended if missing);
+    returns the path actually written (np.savez appends the extension
+    silently, so callers must report THIS name)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = _flatten_with_paths(state)
     meta = {"mode": int(mode), "block_count": int(block_count),
             "extra": extra or {}}
     np.savez(path, __meta__=json.dumps(meta), **flat)
+    return path
 
 
 def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
     """Read a checkpoint; returns (state, meta)."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         mc = cfg.get_mode_config(meta["mode"])

@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     from sdr_tpu.models import rds_decode
 
     mc = cfg.get_mode_config(args.mode)
+    if args.wav and args.output == "-":
+        print("--wav needs an output file: pass -o PATH", file=sys.stderr)
+        return 2
     with_rds = args.rds and mc.rds is not None
     if args.rds and mc.rds is None:
         print(f"mode {args.mode} carries no RDS; ignoring --rds",
@@ -121,9 +124,9 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     if args.save_state:
         from sdr_tpu import checkpoint
-        checkpoint.save(args.save_state, receiver.state, args.mode,
-                        block_count=block_count + n_blocks)
-        print(f"state saved to {args.save_state} "
+        written = checkpoint.save(args.save_state, receiver.state, args.mode,
+                                  block_count=block_count + n_blocks)
+        print(f"state saved to {written} "
               f"(block {block_count + n_blocks})", file=sys.stderr)
     if args.wav:
         audio = (np.concatenate(audio_accum)

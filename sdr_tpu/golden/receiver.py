@@ -139,8 +139,13 @@ def process_block(iq_block: np.ndarray, coeffs: GoldenCoeffs,
                   state: GoldenState, mc: cfg.ModeConfig,
                   stereo: bool = True, with_rds: bool = False,
                   block_count: int = 0) -> tuple[BlockOutputs, GoldenState]:
-    """Process one block of normalized float IQ (interleaved I,Q,I,Q,...)."""
-    s = state
+    """Process one block of normalized float IQ (interleaved I,Q,I,Q,...).
+
+    The input ``state`` is never mutated: all updates land on a shallow
+    copy that is returned, so callers may snapshot states across blocks
+    exactly like with the TPU layer's immutable pytree.
+    """
+    s = dataclasses.replace(state)
     # --- RF front-end -----------------------------------------------------
     i_raw = iq_block[0::2]
     q_raw = iq_block[1::2]
@@ -150,10 +155,13 @@ def process_block(iq_block: np.ndarray, coeffs: GoldenCoeffs,
                                            mc.rf_decim)
     fm, s.demod_iq = demod.fm_demod_quad(i_ds, q_ds, s.demod_iq)
 
-    # --- Mono (delay-matched when the stereo arm runs) --------------------
+    # --- Mono ------------------------------------------------------------
+    # Always delay-matched to the band-pass arms.  Documented divergence:
+    # the reference's mono-only build (src/threadMonoOnly.cpp) applies no
+    # allpass; we keep the delay in both paths so mono/stereo/RDS share one
+    # timeline (a pure 75-IF-sample shift, inaudible and phase-exact).
     fm_delayed, s.mono_allpass = filters.allpass_delay(fm, s.mono_allpass)
-    mono_in = fm_delayed if stereo else fm_delayed
-    mono, s.mono_fir = _audio_fir(mono_in, coeffs.audio, s.mono_fir, mc)
+    mono, s.mono_fir = _audio_fir(fm_delayed, coeffs.audio, s.mono_fir, mc)
 
     out = BlockOutputs(fm_demod=fm, mono=mono)
 

@@ -60,8 +60,9 @@ def pcm_quantize(x: np.ndarray) -> np.ndarray:
         from sdr_tpu import native
         return native.pcm_quantize(np.ascontiguousarray(x, dtype=np.float32))
     except ImportError:
-        y = np.where(np.isnan(x), 0.0, x)
-        return (np.clip(y, -2.0, 1.99993) * 16384.0).astype(np.int16)
+        y = np.where(np.isnan(x), 0.0, x) * 16384.0
+        # saturate exactly like the native path (int16 full range)
+        return np.clip(y, -32768.0, 32767.0).astype(np.int16)
 
 
 def write_pcm(stream: BinaryIO, x: np.ndarray) -> None:

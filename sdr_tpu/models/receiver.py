@@ -128,8 +128,8 @@ def init_state(mc: cfg.ModeConfig, batch_shape: tuple[int, ...] = (),
     r = mc.rds
     z = lambda *s: jnp.zeros(batch_shape + tuple(s), dtype)
 
-    def pll0():
-        st = jpll.pll_init(dtype=dtype)
+    def pll0(nco_q_last: float = 0.0):
+        st = jpll.pll_init(nco_q_last=nco_q_last, dtype=dtype)
         if batch_shape:
             st = jax.tree.map(
                 lambda l: jnp.broadcast_to(l, batch_shape + l.shape), st)
@@ -150,7 +150,9 @@ def init_state(mc: cfg.ModeConfig, batch_shape: tuple[int, ...] = (),
         rds_channel=z(mc.rds_taps - 1) if r else z(0),
         rds_allpass=z((mc.rds_taps - 1) // 2) if r else z(0),
         rds_carrier=z(mc.rds_taps - 1) if r else z(0),
-        rds_pll=pll0(),
+        # reference RDS PLL state is [0,0,1,0,1,0,1]: nco_q[0] carries 1.0
+        # (model/fmRDS.py:173), unlike the stereo PLL's 0.0
+        rds_pll=pll0(nco_q_last=1.0),
         rds_resampler=(z(gfilt.resample_state_len(r.resampler_taps, r.upsamp))
                        if r else z(0)),
         rds_rrc=z(r.rrc_taps - 1) if r else z(0),

@@ -111,26 +111,32 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         check_vma=False)
     def run_shard(iq_local: jnp.ndarray) -> dict:
         # left neighbor's trailing halo_raw samples; shard 0 receives zeros
-        # (== the cold-start state of a contiguous run)
         halo = lax.ppermute(iq_local[..., -halo_raw:], axis,
                             [(i, i + 1) for i in range(s - 1)])
         ext = jnp.concatenate([halo, iq_local], axis=-1)
         lead = ext.shape[:-1]
         blocks = jnp.moveaxis(
             ext.reshape(lead + (n_blocks, block_raw)), -2, 0)
-        state = rx.init_state(mc, batch_shape=lead)
+        init = rx.init_state(mc, batch_shape=lead)
 
         def step(st, blk):
             out, st = rx.process_block(blk, coeffs, st, mc, stereo=stereo,
                                        with_rds=with_rds)
             return st, {a: out._asdict()[a] for a in arms}
 
-        _, outs = lax.scan(step, state, blocks)
-        # drop the warm-up blocks, then flatten time: (n_blk, ..., per) ->
-        # (..., n_blk * per)
+        # warm-up scan over the halo blocks (outputs discarded)
+        warm_state, _ = lax.scan(step, init, blocks[:n_skip_blocks])
+        # shard 0's halo is zeros, which warms the FIR states correctly but
+        # walks the PLL (zero input still advances its oscillator): reset
+        # shard 0 to the EXACT fresh state a contiguous run starts from
+        is_first = lax.axis_index(axis) == 0
+        state = jax.tree.map(
+            lambda i0, w: jnp.where(is_first, i0, w), init, warm_state)
+        _, outs = lax.scan(step, state, blocks[n_skip_blocks:])
+        # flatten time: (n_blk, ..., per) -> (..., n_blk * per)
         kept = {}
         for a in arms:
-            o = jnp.moveaxis(outs[a][n_skip_blocks:], 0, -2)
+            o = jnp.moveaxis(outs[a], 0, -2)
             kept[a] = o.reshape(lead + (-1,))
         return kept
 

@@ -36,12 +36,21 @@ def animate_psd(iq: np.ndarray, mode: int | cfg.Mode = 0,
     from sdr_tpu.models import receiver as rx
 
     mc = cfg.get_mode_config(mode)
-    receiver = rx.Receiver(mode, stereo=arm in ("left", "right"))
-    bs = mc.default_block_size()
+    with_rds = arm.startswith("rds")
+    if with_rds and mc.rds is None:
+        raise ValueError(f"mode {mode} carries no RDS; cannot animate {arm}")
+    receiver = rx.Receiver(mode, stereo=arm in ("left", "right"),
+                           with_rds=with_rds)
+    bs = mc.default_block_size(with_rds)
     n_blocks = len(iq) // bs
     if max_blocks:
         n_blocks = min(n_blocks, max_blocks)
-    fs = mc.if_fs if arm == "fm_demod" else mc.audio_fs
+    if arm == "fm_demod":
+        fs = mc.if_fs
+    elif with_rds:
+        fs = mc.rds.symbol_fs
+    else:
+        fs = mc.audio_fs
 
     psds = []
     for b in range(n_blocks):

@@ -200,5 +200,7 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
 
 def u8_to_float(iq_u8: np.ndarray) -> np.ndarray:
     """Normalize u8 IQ to [-1, 1) float32 — (x - 128) / 128
-    (ref: src/iofunc.cpp:128-135, model/stereo.py:86)."""
-    return (iq_u8.astype(np.float32) - 128.0) / 128.0
+    (ref: src/iofunc.cpp:128-135, model/stereo.py:86).  Delegates to
+    sdr_tpu.io (native fast path when available)."""
+    from sdr_tpu.io import u8_normalize
+    return u8_normalize(iq_u8)

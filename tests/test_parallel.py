@@ -151,8 +151,14 @@ class TestTimeSharded:
         left_ref = np.asarray(ref.left).reshape(-1)
         left = np.asarray(outs.left)
         assert left.shape == left_ref.shape
-        # compare away from the global cold start; PLL re-lock keeps the
-        # stereo arm within small error of contiguous processing
+        # shard 0 resets to the exact fresh state after its zero warm-up,
+        # so its output matches contiguous from sample 0 (roundoff through
+        # the chaotic PLL transient aside)
+        first_shard = left_ref.shape[0] // 8
+        np.testing.assert_allclose(left[:first_shard],
+                                   left_ref[:first_shard], atol=1e-2)
+        # later shards: PLL re-lock keeps the stereo arm within small
+        # error of contiguous processing
         skip = 8000
         err = np.sqrt(np.mean((left[skip:] - left_ref[skip:]) ** 2))
         ref_rms = np.sqrt(np.mean(left_ref[skip:] ** 2))
