@@ -70,12 +70,13 @@ def main() -> None:
     mc = cfg.get_mode_config(0)
     bs = mc.default_block_size(with_rds=True)
 
-    # realistic input: synthesized FM station, cycled over blocks
+    # realistic input: synthesized FM station, cycled over blocks, fed as
+    # RAW u8 (normalized on-device — 4x less HBM input traffic)
     res = synth.synthesize_fm(duration_s=0.25, mode=0, with_stereo=True,
                               with_rds=True, seed=0)
-    iq = synth.u8_to_float(res.iq_u8)
+    iq = res.iq_u8
     n_src = len(iq) // bs
-    blocks1 = [jnp.asarray(iq[b * bs:(b + 1) * bs], jnp.float32)
+    blocks1 = [jnp.asarray(iq[b * bs:(b + 1) * bs])
                for b in range(n_src)]
 
     coeffs = rx.design_coeffs(mc)

@@ -192,12 +192,18 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
-    ``iq`` is normalized float interleaved I,Q,... of shape (..., 2*N_rf);
-    leading dims are an independent-channel batch.  ``mc``/``stereo``/
-    ``with_rds``/``pallas_frontend`` must be static under jit.
-    ``pallas_frontend`` runs the RF I/Q decimating FIR as the fused Pallas
-    kernel (ops.pallas_fir) instead of the XLA conv.
+    ``iq`` is interleaved I,Q,... of shape (..., 2*N_rf): either normalized
+    float32, or RAW uint8 straight off the SDR — u8 input is normalized
+    on-device ((x-128)/128, src/iofunc.cpp:133-134), which quarters the
+    HBM traffic of the input stream (the bandwidth bottleneck in the
+    channel-batched serving regime).  Leading dims are an
+    independent-channel batch.  ``mc``/``stereo``/``with_rds``/
+    ``pallas_frontend`` must be static under jit.  ``pallas_frontend``
+    runs the RF I/Q decimating FIR as the fused Pallas kernel
+    (ops.pallas_fir) instead of the XLA conv.
     """
+    if iq.dtype == jnp.uint8:
+        iq = (iq.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
     s = state
     upd: dict = {}
     empty = jnp.zeros(iq.shape[:-1] + (0,), iq.dtype)
@@ -341,8 +347,14 @@ class Receiver:
         self.state = init_state(self.mc, batch_shape)
         self._fn = make_block_fn(self.mc, self.stereo, self.with_rds)
 
+    @staticmethod
+    def _as_input(x) -> np.ndarray:
+        """uint8 stays uint8 (normalized on-device); everything else f32."""
+        a = np.asarray(x)
+        return a if a.dtype == np.uint8 else a.astype(np.float32)
+
     def process(self, iq_block) -> BlockOutputs:
-        iq = jnp.asarray(iq_block, dtype=jnp.float32)
+        iq = jnp.asarray(self._as_input(iq_block))
         out, self.state = self._fn(iq, self.coeffs, self.state)
         return out
 
@@ -353,7 +365,7 @@ class Receiver:
             block_size = self.mc.default_block_size(self.with_rds)
         n_blocks = iq.shape[-1] // block_size
         blocks = np.moveaxis(
-            np.asarray(iq[..., : n_blocks * block_size], dtype=np.float32)
+            self._as_input(iq[..., : n_blocks * block_size])
             .reshape(iq.shape[:-1] + (n_blocks, block_size)), -2, 0)
         outs, self.state = run_blocks_scan(
             jnp.asarray(blocks), self.coeffs, self.state, int(self.mc.mode),

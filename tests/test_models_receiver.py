@@ -123,6 +123,25 @@ class TestStreaming:
         np.testing.assert_allclose(np.asarray(big.left), left_small, atol=1e-4)
 
 
+class TestU8Input:
+    def test_raw_u8_equals_prenormalized_float(self):
+        """uint8 blocks normalize on-device bit-identically to host
+        normalization (1/128 is a power of two: both paths are exact)."""
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size()
+        res = synth.synthesize_fm(duration_s=0.05, mode=0, seed=9,
+                                  with_rds=False)
+        raw = res.iq_u8[:bs]
+        rx_u8 = trx.Receiver(0, stereo=True)
+        rx_f32 = trx.Receiver(0, stereo=True)
+        out_u8 = rx_u8.process(raw)
+        out_f32 = rx_f32.process(synth.u8_to_float(raw))
+        np.testing.assert_array_equal(np.asarray(out_u8.left),
+                                      np.asarray(out_f32.left))
+        np.testing.assert_array_equal(np.asarray(out_u8.fm_demod),
+                                      np.asarray(out_f32.fm_demod))
+
+
 class TestChannelBatch:
     def test_batched_rows_match_single(self):
         """A (2, N) channel batch gives per-row results equal to two
