@@ -51,8 +51,29 @@ def _stream(fn, coeffs, state, blocks, n_timed):
     return dt
 
 
+def _accelerator_healthy(timeout_s: int = 120) -> bool:
+    """Probe the default backend in a subprocess: the dev chip's tunnel
+    sometimes hangs indefinitely, which would leave the driver with no
+    benchmark result at all — fall back to CPU in that case."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(jnp.ones(2).sum())"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import jax
+
+    if not _accelerator_healthy():
+        # must happen before the backend initializes in THIS process
+        jax.config.update("jax_platforms", "cpu")
+        print("# accelerator unreachable; benchmarking on CPU fallback",
+              file=sys.stderr)
 
     # persistent compile cache: repeat bench runs skip XLA compilation
     try:
