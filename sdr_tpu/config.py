@@ -165,3 +165,25 @@ _MODES = {
 
 def get_mode_config(mode: int | Mode) -> ModeConfig:
     return _MODES[Mode(mode)]
+
+
+def custom_mode(rf_fs: float, if_fs: float, audio_fs: float,
+                rds: Optional[RdsConfig] = None, **overrides) -> ModeConfig:
+    """Build a ModeConfig for sample rates outside the four group-28 modes.
+
+    Decimation/resampling factors are derived from the rates: ``rf_fs``
+    must be an integer multiple of ``if_fs``, and the audio resampler runs
+    at the reduced rational ``audio_fs / if_fs``.  Extra keyword arguments
+    override tap counts (``rf_taps``, ``stereo_taps``, ``rds_taps``).
+    """
+    rf_decim = int(round(rf_fs / if_fs))
+    if abs(rf_fs - rf_decim * if_fs) > 1e-6:
+        raise ValueError(f"rf_fs {rf_fs} must be an integer multiple of "
+                         f"if_fs {if_fs}")
+    from fractions import Fraction
+    frac = Fraction(int(round(audio_fs)), int(round(if_fs)))
+    upsamp, decim = frac.numerator, frac.denominator
+    return ModeConfig(
+        mode=Mode.MODE_0,  # mode tag is informational for custom configs
+        rf_fs=rf_fs, if_fs=if_fs, audio_fs=audio_fs, rf_decim=rf_decim,
+        audio_decim=decim, audio_upsamp=upsamp, rds=rds, **overrides)

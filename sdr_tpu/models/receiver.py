@@ -284,12 +284,13 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     return out, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds",
+# ModeConfig is a frozen (hashable) dataclass: it IS the static jit key, so
+# custom configs (cfg.custom_mode) compile distinct programs correctly.
+@functools.partial(jax.jit, static_argnames=("mc", "stereo", "with_rds",
                                              "pallas_frontend",
                                              "rds_debug_q"))
-def _block_step(iq, coeffs, state, mode, stereo, with_rds,
+def _block_step(iq, coeffs, state, mc, stereo, with_rds,
                 pallas_frontend=False, rds_debug_q=False):
-    mc = cfg.get_mode_config(mode)
     return process_block(iq, coeffs, state, mc, stereo=stereo,
                          with_rds=with_rds, pallas_frontend=pallas_frontend,
                          rds_debug_q=rds_debug_q)
@@ -300,14 +301,14 @@ def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
                   rds_debug_q: bool = False):
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode."""
     def fn(iq, coeffs, state):
-        return _block_step(iq, coeffs, state, int(mc.mode), stereo, with_rds,
+        return _block_step(iq, coeffs, state, mc, stereo, with_rds,
                            pallas_frontend, rds_debug_q)
     return fn
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "stereo", "with_rds"))
 def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
-                    state: ReceiverState, mode: int, stereo: bool = True,
+                    state: ReceiverState, mode, stereo: bool = True,
                     with_rds: bool = False
                     ) -> tuple[BlockOutputs, ReceiverState]:
     """Whole-recording streaming as ONE device program.
@@ -315,9 +316,11 @@ def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
     ``iq_blocks`` has shape (n_blocks, ..., block_len): scan axis first, then
     optional channel-batch dims.  Replaces the reference's while-loop over
     blocks (model/stereo.py:152) with ``lax.scan``; outputs come back stacked
-    (n_blocks, ..., out_len).
+    (n_blocks, ..., out_len).  ``mode`` is an int mode id or a (custom)
+    ModeConfig.
     """
-    mc = cfg.get_mode_config(mode)
+    mc = (mode if isinstance(mode, cfg.ModeConfig)
+          else cfg.get_mode_config(mode))
 
     def step(st, iq):
         out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
@@ -337,10 +340,11 @@ class Receiver:
     state is bit-identical).
     """
 
-    def __init__(self, mode: int | cfg.Mode = 0, stereo: bool = True,
-                 with_rds: bool = False,
+    def __init__(self, mode: int | cfg.Mode | cfg.ModeConfig = 0,
+                 stereo: bool = True, with_rds: bool = False,
                  batch_shape: tuple[int, ...] = ()):
-        self.mc = cfg.get_mode_config(mode)
+        self.mc = (mode if isinstance(mode, cfg.ModeConfig)
+                   else cfg.get_mode_config(mode))
         self.stereo = stereo
         self.with_rds = with_rds and self.mc.rds is not None
         self.coeffs = design_coeffs(self.mc)
@@ -368,6 +372,6 @@ class Receiver:
             self._as_input(iq[..., : n_blocks * block_size])
             .reshape(iq.shape[:-1] + (n_blocks, block_size)), -2, 0)
         outs, self.state = run_blocks_scan(
-            jnp.asarray(blocks), self.coeffs, self.state, int(self.mc.mode),
+            jnp.asarray(blocks), self.coeffs, self.state, self.mc,
             self.stereo, self.with_rds)
         return outs
