@@ -147,18 +147,14 @@ def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
     return shaped / peak, info, framed
 
 
-def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
-                  seed: int = 0, tone_l: float = 800.0, tone_r: float = 1500.0,
-                  with_stereo: bool = True, with_rds: bool = True,
-                  deviation_hz: float = 75e3,
-                  noise_std: float = 0.0,
-                  rds_clock_ppm: float = 0.0) -> SynthResult:
-    """Synthesize an FM station and return u8 IQ + ground truth."""
-    mc = cfg.get_mode_config(mode)
-    rng = np.random.default_rng(seed)
-    rf_fs = mc.rf_fs
-    n = int(round(duration_s * rf_fs))
-    t = np.arange(n) / rf_fs
+def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
+                     rng: np.random.Generator, tone_l: float, tone_r: float,
+                     with_stereo: bool, with_rds: bool,
+                     rds_clock_ppm: float):
+    """Composite FM multiplex + ground truth at an arbitrary sample rate
+    (shared by the single-station and wideband synthesizers)."""
+    n = int(round(duration_s * fs))
+    t = np.arange(n) / fs
 
     left = 0.9 * np.sin(2 * np.pi * tone_l * t)
     right = 0.9 * np.sin(2 * np.pi * tone_r * t)
@@ -178,10 +174,27 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
     if with_rds and mc.rds is not None:
         n_groups = max(2, int(duration_s * cfg.RDS_SYMBOL_RATE / 2 / 104) + 1)
         shaped, rds_info, rds_framed = _shaped_rds_baseband(
-            n, rf_fs, rng, n_groups, clock_ppm=rds_clock_ppm)
+            n, fs, rng, n_groups, clock_ppm=rds_clock_ppm)
         pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * t
         # 57 kHz = 3x pilot, phase-locked
         mpx = mpx + 0.06 * shaped * np.sin(3.0 * pilot_phase)
+    return mpx, left, right, rds_info, rds_framed
+
+
+def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
+                  seed: int = 0, tone_l: float = 800.0, tone_r: float = 1500.0,
+                  with_stereo: bool = True, with_rds: bool = True,
+                  deviation_hz: float = 75e3,
+                  noise_std: float = 0.0,
+                  rds_clock_ppm: float = 0.0) -> SynthResult:
+    """Synthesize an FM station and return u8 IQ + ground truth."""
+    mc = cfg.get_mode_config(mode)
+    rng = np.random.default_rng(seed)
+    rf_fs = mc.rf_fs
+    n = int(round(duration_s * rf_fs))
+    mpx, left, right, rds_info, rds_framed = _build_multiplex(
+        duration_s, rf_fs, mc, rng, tone_l, tone_r, with_stereo, with_rds,
+        rds_clock_ppm)
 
     # FM modulate: instantaneous frequency = deviation * mpx
     phase = 2 * np.pi * deviation_hz * np.cumsum(mpx) / rf_fs
@@ -196,6 +209,54 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
     iq[1::2] = q
     iq_u8 = np.clip(np.round(iq * 127.0 + 128.0), 0, 255).astype(np.uint8)
     return SynthResult(iq_u8, left, right, rds_info, rds_framed, mpx)
+
+
+@dataclasses.dataclass
+class WidebandResult:
+    iq_u8: np.ndarray                 # interleaved u8 at fs_wide
+    fs_wide: float
+    offsets_hz: list[float]
+    stations: list[SynthResult]       # per-station ground truth (mpx etc.)
+
+
+def synthesize_wideband(duration_s: float, fs_wide: float,
+                        offsets_hz, mode: int | cfg.Mode = 0,
+                        seed: int = 0, with_rds: bool = True,
+                        noise_std: float = 0.0) -> WidebandResult:
+    """A wideband capture containing several FM stations at carrier offsets.
+
+    Each station is an independent full multiplex (distinct tones and RDS
+    groups) FM-modulated at ``fs_wide`` and mixed to its offset; the sum is
+    quantized to interleaved u8 like a wideband SDR capture.  Feed through
+    models.channelizer to recover the per-station channel batch.
+    """
+    mc = cfg.get_mode_config(mode)
+    rng = np.random.default_rng(seed)
+    n = int(round(duration_s * fs_wide))
+    t = np.arange(n) / fs_wide
+    total = np.zeros(n, dtype=np.complex128)
+    stations: list[SynthResult] = []
+    for k, f_off in enumerate(offsets_hz):
+        srng = np.random.default_rng(seed + 1000 * (k + 1))
+        tone_l = 600.0 + 300.0 * k
+        tone_r = 2300.0 - 400.0 * k
+        mpx, left, right, info, framed = _build_multiplex(
+            duration_s, fs_wide, mc, srng, tone_l, tone_r, True, with_rds,
+            0.0)
+        phase = 2 * np.pi * 75e3 * np.cumsum(mpx) / fs_wide
+        z = np.exp(1j * (phase + 2 * np.pi * f_off * t))
+        total += z
+        stations.append(SynthResult(np.zeros(0, np.uint8), left, right,
+                                    info, framed, mpx))
+    total /= len(offsets_hz)
+    if noise_std > 0:
+        total = total + (rng.normal(0, noise_std, n)
+                         + 1j * rng.normal(0, noise_std, n))
+    iq = np.empty(2 * n, dtype=np.float64)
+    iq[0::2] = total.real
+    iq[1::2] = total.imag
+    iq_u8 = np.clip(np.round(iq * 127.0 + 128.0), 0, 255).astype(np.uint8)
+    return WidebandResult(iq_u8, fs_wide, list(offsets_hz), stations)
 
 
 def u8_to_float(iq_u8: np.ndarray) -> np.ndarray:
