@@ -49,7 +49,71 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint receiver state to PATH (.npz) at EOF")
     p.add_argument("--resume", metavar="PATH",
                    help="resume from a state checkpoint (.npz)")
+    p.add_argument("--wideband", metavar="FS",
+                   help="input is a wideband capture at FS samples/s: "
+                        "channelize --offsets stations and decode them as "
+                        "one batch (requires --wav -o PREFIX)")
+    p.add_argument("--offsets", metavar="HZ,HZ,...",
+                   help="comma-separated station offsets for --wideband")
     return p
+
+
+def _main_wideband(args) -> int:
+    """Wideband serving path: channelize + batched receive, one wav per
+    station (out path PREFIX_<k>.wav), RDS per station on stderr."""
+    from sdr_tpu.models import rds_decode
+    from sdr_tpu.models import receiver as rx
+    from sdr_tpu.models.channelizer import Channelizer
+
+    if not args.offsets or not args.wav or args.output == "-":
+        print("--wideband needs --offsets HZ,HZ,... and --wav -o PREFIX",
+              file=sys.stderr)
+        return 2
+    offsets = [float(f) for f in args.offsets.split(",")]
+    mc = cfg.get_mode_config(args.mode)
+    with_rds = args.rds and mc.rds is not None
+    ch = Channelizer(offsets, float(args.wideband), args.mode)
+    receiver = rx.Receiver(args.mode, stereo=args.stereo, with_rds=with_rds,
+                           batch_shape=(len(offsets),))
+    bs_wide = (args.block_size
+               or mc.default_block_size(with_rds)) * ch.decim
+
+    in_stream = sio.stdin_binary() if args.input == "-" else open(
+        args.input, "rb")
+    lefts, rights, monos, syms = [], [], [], []
+    try:
+        while True:
+            raw = in_stream.read(bs_wide)
+            if raw is None or len(raw) < bs_wide:
+                break
+            out = receiver.process(
+                ch.process(np.frombuffer(raw, dtype=np.uint8)))
+            if args.stereo:
+                lefts.append(np.asarray(out.left))
+                rights.append(np.asarray(out.right))
+            else:
+                monos.append(np.asarray(out.mono))
+            if with_rds:
+                syms.append(np.asarray(out.rds_symbols))
+    finally:
+        if in_stream is not sys.stdin.buffer:
+            in_stream.close()
+
+    for k, f_off in enumerate(offsets):
+        path = f"{args.output}_{k}.wav"
+        if args.stereo:
+            audio = np.stack([np.concatenate(lefts, -1)[k],
+                              np.concatenate(rights, -1)[k]], axis=-1)
+        else:
+            audio = np.concatenate(monos, -1)[k]
+        sio.write_wav(path, audio, mc.audio_fs)
+        msg = f"station {k} @ {f_off / 1e6:+.2f} MHz -> {path}"
+        if with_rds and syms:
+            dec = rds_decode.decode_robust(
+                np.concatenate(syms, -1)[k], mc.rds.sps)
+            msg += f" | RDS {len(dec.frames.matches)} frames"
+        print(msg, file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -58,6 +122,9 @@ def main(argv=None) -> int:
 
     from sdr_tpu.models import receiver as rx
     from sdr_tpu.models import rds_decode
+
+    if args.wideband:
+        return _main_wideband(args)
 
     mc = cfg.get_mode_config(args.mode)
     if args.wav and args.output == "-":

@@ -56,3 +56,26 @@ class TestChannelizer:
     def test_rejects_non_integer_decimation(self):
         with pytest.raises(ValueError):
             Channelizer([0.0], 5.0e6, 0)
+
+
+class TestWidebandCli:
+    def test_cli_wideband_two_stations(self, wideband, tmp_path):
+        import subprocess
+        import sys
+
+        p = tmp_path / "wide.raw"
+        wideband.iq_u8.tofile(p)
+        prefix = str(tmp_path / "st")
+        r = subprocess.run(
+            [sys.executable, "-m", "sdr_tpu.cli", "--mode", "0", "--stereo",
+             "--rds", "--wideband", "9600000",
+             "--offsets=-1500000,2000000", str(p), "--wav", "-o", prefix],
+            capture_output=True, timeout=600,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        assert r.returncode == 0, r.stderr.decode()
+        from scipy.io import wavfile
+        for k in range(2):
+            fs, audio = wavfile.read(f"{prefix}_{k}.wav")
+            assert fs == 48000 and audio.shape[1] == 2
+        assert r.stderr.count(b"RDS") == 2
