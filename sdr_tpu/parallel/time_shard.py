@@ -48,7 +48,8 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
                          overlap_if: Optional[int] = None,
                          axis: str = "time",
                          batch_axis: Optional[str] = None,
-                         block_if: Optional[int] = None) -> rx.BlockOutputs:
+                         block_if: Optional[int] = None,
+                         halo_impl: str = "ppermute") -> rx.BlockOutputs:
     """Process one recording time-sharded over ``mesh`` axis ``axis``.
 
     ``iq``: (n,) normalized interleaved IQ; n must divide evenly into
@@ -65,6 +66,9 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     With ``batch_axis`` set, ``iq`` is (C, n): a channel batch sharded over
     a second mesh axis — time and channel parallelism composed on one 2D
     mesh (the dp x sp layout of SURVEY.md §2.3).
+
+    ``halo_impl``: "ppermute" (XLA collective, default) or "pallas"
+    (hand-written RDMA kernel, parallel.pallas_halo) — identical results.
     """
     mc = cfg.get_mode_config(mode)
     with_rds = with_rds and mc.rds is not None
@@ -111,8 +115,13 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         check_vma=False)
     def run_shard(iq_local: jnp.ndarray) -> dict:
         # left neighbor's trailing halo_raw samples; shard 0 receives zeros
-        halo = lax.ppermute(iq_local[..., -halo_raw:], axis,
-                            [(i, i + 1) for i in range(s - 1)])
+        tail = iq_local[..., -halo_raw:]
+        if halo_impl == "pallas":
+            from sdr_tpu.parallel.pallas_halo import halo_shift_right
+            halo = halo_shift_right(tail, axis, s)
+        else:
+            halo = lax.ppermute(tail, axis,
+                                [(i, i + 1) for i in range(s - 1)])
         ext = jnp.concatenate([halo, iq_local], axis=-1)
         lead = ext.shape[:-1]
         blocks = jnp.moveaxis(

@@ -183,6 +183,23 @@ class TestTimeSharded:
                          ).reshape(-1)
         np.testing.assert_allclose(mono[0], ref, atol=1e-5)
 
+    def test_pallas_halo_matches_ppermute(self, mesh8, recording):
+        """The hand-written RDMA halo kernel is drop-in equivalent to the
+        XLA ppermute collective."""
+        iq, _ = recording
+        mc = cfg.get_mode_config(0)
+        iq = self._trim(iq, mc, 8, False)
+        a = time_sharded_receive(iq, mesh8, 0, stereo=False,
+                                 with_rds=False, axis="d",
+                                 halo_impl="ppermute")
+        b = time_sharded_receive(iq, mesh8, 0, stereo=False,
+                                 with_rds=False, axis="d",
+                                 halo_impl="pallas")
+        np.testing.assert_array_equal(np.asarray(a.fm_demod),
+                                      np.asarray(b.fm_demod))
+        np.testing.assert_array_equal(np.asarray(a.mono),
+                                      np.asarray(b.mono))
+
     def test_rds_symbols_survive_sharding(self, mesh8, recording):
         """Time-sharded soft symbols still decode every RDS frame."""
         from sdr_tpu.models import rds_decode
