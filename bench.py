@@ -3,13 +3,14 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: sustained aggregate raw-IQ throughput (Msamples/s of IQ pairs)
-through the complete mode-0 receiver DAG — RF front-end, mono, stereo
-(pilot PLL), RDS to soft symbols — for a channel-parallel batch of
-independent FM stations streamed block-by-block with carried state.  The
-channel batch is this framework's data-parallel axis (SURVEY.md §2.3);
-per-row outputs are bit-identical to single-channel runs
-(tests/test_models_receiver.py::TestChannelBatch).
+Metric definition: the BEST sustained raw-IQ throughput (Msamples/s of IQ
+pairs) through the complete mode-0 receiver DAG — RF front-end, mono,
+stereo (pilot PLL), RDS to soft symbols — across the two operating
+regimes: single-stream (the reference's mode) and a channel-parallel
+batch of independent stations (this framework's data-parallel serving
+axis, SURVEY.md §2.3; per-row outputs bit-identical to single-channel
+runs, tests/test_models_receiver.py::TestChannelBatch).  Both regime
+figures are printed on stderr; the JSON reports the max.
 
 Baseline: the reference runs ONE station in real time at its input rate,
 2.4 MS/s, on a Raspberry Pi 4 (BASELINE.md: mode-0 budget 21.33 ms per

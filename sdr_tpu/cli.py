@@ -69,9 +69,16 @@ def _main_wideband(args) -> int:
         print("--wideband needs --offsets HZ,HZ,... and --wav -o PREFIX",
               file=sys.stderr)
         return 2
+    for flag in ("save_state", "resume", "pallas"):
+        if getattr(args, flag):
+            print(f"--{flag.replace('_', '-')} is not supported with "
+                  "--wideband; ignoring", file=sys.stderr)
     offsets = [float(f) for f in args.offsets.split(",")]
     mc = cfg.get_mode_config(args.mode)
     with_rds = args.rds and mc.rds is not None
+    if args.rds and mc.rds is None:
+        print(f"mode {args.mode} carries no RDS; ignoring --rds",
+              file=sys.stderr)
     ch = Channelizer(offsets, float(args.wideband), args.mode)
     receiver = rx.Receiver(args.mode, stereo=args.stereo, with_rds=with_rds,
                            batch_shape=(len(offsets),))
@@ -81,6 +88,8 @@ def _main_wideband(args) -> int:
     in_stream = sio.stdin_binary() if args.input == "-" else open(
         args.input, "rb")
     lefts, rights, monos, syms = [], [], [], []
+    n_blocks = 0
+    t0 = time.time()
     try:
         while True:
             raw = in_stream.read(bs_wide)
@@ -95,24 +104,37 @@ def _main_wideband(args) -> int:
                 monos.append(np.asarray(out.mono))
             if with_rds:
                 syms.append(np.asarray(out.rds_symbols))
+            n_blocks += 1
     finally:
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
+    dt = time.time() - t0
 
+    if n_blocks == 0:
+        print(f"input shorter than one wideband block ({bs_wide} samples); "
+              "nothing decoded", file=sys.stderr)
+        return 1
+    left = np.concatenate(lefts, -1) if lefts else None
+    right = np.concatenate(rights, -1) if rights else None
+    mono = np.concatenate(monos, -1) if monos else None
+    sym = np.concatenate(syms, -1) if syms else None
     for k, f_off in enumerate(offsets):
         path = f"{args.output}_{k}.wav"
         if args.stereo:
-            audio = np.stack([np.concatenate(lefts, -1)[k],
-                              np.concatenate(rights, -1)[k]], axis=-1)
+            audio = np.stack([left[k], right[k]], axis=-1)
         else:
-            audio = np.concatenate(monos, -1)[k]
+            audio = mono[k]
         sio.write_wav(path, audio, mc.audio_fs)
         msg = f"station {k} @ {f_off / 1e6:+.2f} MHz -> {path}"
-        if with_rds and syms:
-            dec = rds_decode.decode_robust(
-                np.concatenate(syms, -1)[k], mc.rds.sps)
+        if sym is not None:
+            dec = rds_decode.decode_robust(sym[k], mc.rds.sps)
             msg += f" | RDS {len(dec.frames.matches)} frames"
         print(msg, file=sys.stderr)
+    if args.stats:
+        pairs = n_blocks * bs_wide / 2
+        print(f"{n_blocks} wideband blocks, {len(offsets)} stations, "
+              f"{pairs / 1e6:.2f} M IQ pairs in {dt:.2f}s = "
+              f"{pairs / dt / 1e6:.1f} MS/s", file=sys.stderr)
     return 0
 
 

@@ -352,8 +352,13 @@ class Receiver:
         self._fn = make_block_fn(self.mc, self.stereo, self.with_rds)
 
     @staticmethod
-    def _as_input(x) -> np.ndarray:
-        """uint8 stays uint8 (normalized on-device); everything else f32."""
+    def _as_input(x):
+        """uint8 stays uint8 (normalized on-device); everything else f32.
+        Device arrays pass through untouched — no host round-trip on the
+        hot path (e.g. channelizer output feeding process())."""
+        if isinstance(x, jnp.ndarray) and x.dtype in (jnp.uint8,
+                                                      jnp.float32):
+            return x
         a = np.asarray(x)
         return a if a.dtype == np.uint8 else a.astype(np.float32)
 

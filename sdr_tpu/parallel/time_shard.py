@@ -118,7 +118,9 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         tail = iq_local[..., -halo_raw:]
         if halo_impl == "pallas":
             from sdr_tpu.parallel.pallas_halo import halo_shift_right
-            halo = halo_shift_right(tail, axis, s)
+            mesh_axes = tuple((name, mesh.shape[name])
+                              for name in mesh.axis_names)
+            halo = halo_shift_right(tail, axis, mesh_axes)
         else:
             halo = lax.ppermute(tail, axis,
                                 [(i, i + 1) for i in range(s - 1)])

@@ -200,6 +200,21 @@ class TestTimeSharded:
         np.testing.assert_array_equal(np.asarray(a.mono),
                                       np.asarray(b.mono))
 
+    def test_pallas_halo_rejects_2d_mesh(self, recording):
+        """JAX's dma_start supports LOGICAL device ids on 1D meshes only;
+        the pallas halo must refuse a composed mesh loudly rather than
+        corrupt cross-row transfers (use ppermute there)."""
+        iq, _ = recording
+        mc = cfg.get_mode_config(0)
+        iq1 = self._trim(iq, mc, 4, False)
+        iqc = np.stack([iq1, iq1 * 0.5])
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("ch", "time"))
+        with pytest.raises(NotImplementedError, match="1D meshes"):
+            time_sharded_receive(iqc, mesh, 0, stereo=False, with_rds=False,
+                                 axis="time", batch_axis="ch",
+                                 halo_impl="pallas")
+
     def test_rds_symbols_survive_sharding(self, mesh8, recording):
         """Time-sharded soft symbols still decode every RDS frame."""
         from sdr_tpu.models import rds_decode
