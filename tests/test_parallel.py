@@ -183,6 +183,22 @@ class TestTimeSharded:
                          ).reshape(-1)
         np.testing.assert_allclose(mono[0], ref, atol=1e-5)
 
+    def test_mode2_rational_time_sharding(self, mesh8):
+        """Time sharding with the rational (147/800) audio resampler:
+        block multiples are much coarser but linear-arm parity holds."""
+        mc = cfg.get_mode_config(2)
+        res = synth.synthesize_fm(duration_s=0.6, mode=2, with_stereo=False,
+                                  with_rds=False, seed=17)
+        iq = synth.u8_to_float(res.iq_u8)
+        iq = self._trim(iq, mc, 8, False)
+        outs = time_sharded_receive(iq, mesh8, 2, stereo=False,
+                                    with_rds=False, axis="d")
+        rxs = trx.Receiver(2, stereo=False)
+        ref = rxs.run(iq, block_size=iq.shape[-1])
+        np.testing.assert_allclose(np.asarray(outs.mono),
+                                   np.asarray(ref.mono).reshape(-1),
+                                   atol=1e-5)
+
     def test_pallas_halo_matches_ppermute(self, mesh8, recording):
         """The hand-written RDMA halo kernel is drop-in equivalent to the
         XLA ppermute collective."""
