@@ -63,14 +63,18 @@ def _kernel(hr_ref, x2_ref, out_ref, scratch, sem, *, tile: int,
 
 def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
                      tile: int = 2048,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool | None = None) -> jnp.ndarray:
     """Batched streaming decimating FIR on the extended input.
 
     ``xc`` is ``[state, x]`` of shape (..., N + K - 1) (the overlap-save
     convention of ops.fir.fir_block_decim); returns (..., N // decim)
     bit-comparable to the XLA conv path.  Jit-compatible (``h`` may be
-    traced); shapes/decim are static.
+    traced); shapes/decim are static.  ``interpret`` defaults to the
+    Pallas interpreter on non-TPU backends so the same code path runs
+    everywhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     k = h.shape[0]
     n_ext = xc.shape[-1]
     n = n_ext - (k - 1)
@@ -119,7 +123,7 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
 
 def fir_block_decim_pallas(x: jnp.ndarray, h: jnp.ndarray,
                            state: jnp.ndarray, decim: int,
-                           interpret: bool = False
+                           interpret: bool | None = None
                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ops.fir.fir_block_decim using the Pallas kernel."""
     k = h.shape[0] if hasattr(h, "shape") else len(h)

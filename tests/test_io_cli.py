@@ -89,6 +89,15 @@ class TestCli:
         assert r1.returncode == 0 and r2.returncode == 0, r2.stderr.decode()
         assert r1.stdout + r2.stdout == full.stdout
 
+    def test_pallas_flag_runs_on_cpu(self, raw_file):
+        """--pallas auto-selects the interpreter off-TPU, so the flag
+        works on every backend."""
+        path, _ = raw_file
+        r = self._run(["--mode", "0", path, "--pallas",
+                       "--block-size", "115200"])
+        assert r.returncode == 0, r.stderr.decode()
+        assert len(np.frombuffer(r.stdout, dtype=np.int16)) > 0
+
     def test_stereo_wav_and_rds(self, raw_file, tmp_path):
         path, res = raw_file
         out = str(tmp_path / "out.wav")
