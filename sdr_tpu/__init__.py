@@ -29,10 +29,73 @@ Layer map (mirrors SURVEY.md section 1):
 * ``sdr_tpu.parallel`` — mesh sharding: channel-parallel and time-sharding
 * ``sdr_tpu.io``       — raw IQ readers, PCM/WAV writers, host feed
   (ref: src/iofunc.cpp)
-* ``sdr_tpu.runtime``  — native C++ host runtime bindings (ref: src/project.cpp:384-500)
-* ``sdr_tpu.utils``    — synthesis, logging, plotting, checkpointing
+* ``sdr_tpu.native``   — native C++ host runtime bindings: conversions and
+  the threaded bounded-queue feed (ref: src/project.cpp:384-500)
+* ``sdr_tpu.utils``    — synthesis, metrics, logging, plotting, profiling
+* ``sdr_tpu.checkpoint`` — state save/resume (bit-identical restart)
 """
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
 
 __version__ = "0.1.0"
 
-from sdr_tpu.config import Mode, ModeConfig, get_mode_config  # noqa: F401
+from sdr_tpu.config import (  # noqa: F401
+    Mode,
+    ModeConfig,
+    custom_mode,
+    get_mode_config,
+)
+
+
+@dataclasses.dataclass
+class ReceiveResult:
+    """One-call receive output: concatenated audio + decoded RDS."""
+
+    audio_fs: float
+    mono: "np.ndarray"
+    left: Optional["np.ndarray"]
+    right: Optional["np.ndarray"]
+    rds_frames: list
+    rds_info_words: "np.ndarray"
+
+
+def receive(iq, mode: int | Mode | ModeConfig = 0, stereo: bool = True,
+            rds: bool = True) -> ReceiveResult:
+    """Demodulate a whole capture in one call.
+
+    ``iq`` is a path to a raw interleaved-u8 file, a u8 array, or a
+    normalized float array.  Returns concatenated audio (mono always;
+    left/right when ``stereo``) and decoded RDS frames/info words.
+    """
+    import numpy as np
+
+    from sdr_tpu import io as sio
+    from sdr_tpu.models import rds_decode
+    from sdr_tpu.models import receiver as rx
+
+    if isinstance(iq, str):
+        iq = np.fromfile(iq, dtype=np.uint8)
+    mc = mode if isinstance(mode, ModeConfig) else get_mode_config(mode)
+    with_rds = rds and mc.rds is not None
+    r = rx.Receiver(mc, stereo=stereo, with_rds=with_rds)
+    outs = r.run(np.asarray(iq))
+
+    flat = lambda a: np.asarray(a).reshape(-1)
+    frames: list = []
+    words = np.zeros((0, 16), np.int64)
+    if with_rds:
+        dec = rds_decode.decode_robust(np.asarray(outs.rds_symbols),
+                                       mc.rds.sps)
+        frames = dec.frames.matches
+        words = dec.info_words
+    return ReceiveResult(
+        audio_fs=mc.audio_fs,
+        mono=flat(outs.mono),
+        left=flat(outs.left) if stereo else None,
+        right=flat(outs.right) if stereo else None,
+        rds_frames=frames,
+        rds_info_words=words,
+    )

@@ -31,6 +31,31 @@ class TestMetrics:
         assert metrics.tone_snr_db(x, fs, 1000.0) > 20
 
 
+class TestOneCallApi:
+    def test_receive_from_array_and_file(self, tmp_path):
+        import sdr_tpu
+
+        res = synth.synthesize_fm(duration_s=0.25, mode=0, seed=26,
+                                  with_rds=True)
+        out = sdr_tpu.receive(res.iq_u8, mode=0)
+        assert out.audio_fs == 48000.0
+        sep_l, _ = metrics.stereo_separation_db(out.left, out.right,
+                                                out.audio_fs, 800.0, 1500.0)
+        assert sep_l > 25
+        hits, total = metrics.rds_accuracy(out.rds_info_words,
+                                           res.rds_info_bits)
+        assert total >= 6 and hits >= total - 1
+
+        p = str(tmp_path / "cap.raw")
+        res.iq_u8.tofile(p)
+        out2 = sdr_tpu.receive(p, mode=0, stereo=False, rds=False)
+        assert out2.left is None and len(out2.rds_frames) == 0
+        # block sizes differ between rds/non-rds runs: compare the common
+        # prefix (same samples, different end-of-file truncation)
+        n = min(len(out2.mono), len(out.mono))
+        np.testing.assert_allclose(out2.mono[:n], out.mono[:n], atol=1e-6)
+
+
 class TestCustomMode:
     def test_custom_rates_receive(self):
         """A custom 1.92 MS/s RF / 192 kS/s IF / 32 kHz audio mode runs

@@ -64,6 +64,30 @@ class TestFir:
             np.testing.assert_allclose(jy, gy, atol=2e-4)
             np.testing.assert_allclose(js, gs, atol=1e-6)
 
+    def test_resampler_property_sweep(self, rng):
+        """Randomized (U, D, taps, block) sweep vs the golden polyphase —
+        the reference's hardest-won correctness area (index-trace
+        validation, src/testing.cpp:202-252)."""
+        prng = np.random.default_rng(7)
+        for _ in range(12):
+            u = int(prng.integers(1, 13))
+            d = int(prng.integers(1, 13))
+            t_per = int(prng.integers(2, 9))
+            taps = t_per * u + int(prng.integers(0, u))  # any taps >= U
+            n = int(d * prng.integers(4, 9))
+            x = rng.normal(size=2 * n)
+            gs = np.zeros(gfilt.resample_state_len(taps, u))
+            js = _f32(gs)
+            h = rng.normal(size=taps) / taps
+            for b in range(2):
+                blk = x[b * n:(b + 1) * n]
+                gy, gs = gfilt.block_fir_resample(blk, h, gs, d, u)
+                jy, js = jfir.fir_block_resample(_f32(blk), _f32(h), js,
+                                                 d, u)
+                np.testing.assert_allclose(
+                    jy, gy, atol=1e-5,
+                    err_msg=f"U={u} D={d} taps={taps} n={n} block={b}")
+
     def test_allpass_matches_golden(self, rng):
         x = rng.normal(size=500)
         gy, gs = gfilt.allpass_delay(x, np.zeros(75))
