@@ -88,6 +88,18 @@ def write_f32(path: str, x: np.ndarray) -> None:
     np.asarray(x, dtype=np.float32).tofile(path)
 
 
+def print_first_last(x: np.ndarray, n: int = 5, label: str = "",
+                     stream=None) -> None:
+    """Debug printer: first/last n values (ref printFirstLastN,
+    src/iofunc.cpp:113-124 — the reference's golden-vs-C++ comparison
+    surface, data/data/pipeData.txt)."""
+    stream = stream or sys.stderr
+    x = np.asarray(x).reshape(-1)
+    head = ", ".join(f"{v:.9f}" for v in x[:n])
+    tail = ", ".join(f"{v:.9f}" for v in x[-n:])
+    print(f"{label}[{len(x)}]: [{head} ... {tail}]", file=stream)
+
+
 def stdin_binary() -> BinaryIO:
     return sys.stdin.buffer
 
