@@ -115,6 +115,57 @@ class TestSpectrum:
                                    atol=1e-6)
 
 
+class TestReferenceBinary:
+    """Build the reference's SHIPPING C++ mono binary (threadMonoOnly) and
+    compare its PCM output bit-for-bit against our chain on the same
+    synthetic station — the reference's own golden-equivalence gate
+    (SURVEY.md §4.2) executed against the real artifact."""
+
+    @pytest.fixture(scope="class")
+    def ref_binary(self, tmp_path_factory):
+        import shutil
+        import subprocess
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        exe = str(tmp_path_factory.mktemp("refbin") / "refMono")
+        r = subprocess.run(
+            ["g++", "-O3", "-pthread", "-std=c++11",
+             "/root/reference/src/threadMonoOnly.cpp", "-o", exe],
+            capture_output=True, timeout=300)
+        if r.returncode != 0:
+            pytest.skip(f"reference build failed: {r.stderr[:200]}")
+        return exe
+
+    def test_mono_pcm_within_one_lsb(self, ref_binary, tmp_path):
+        import subprocess
+        import sys
+
+        from sdr_tpu.utils import synth
+        res = synth.synthesize_fm(duration_s=0.25, mode=0, seed=52)
+        raw = tmp_path / "x.raw"
+        res.iq_u8.tofile(raw)
+
+        with open(raw, "rb") as f:
+            ref = subprocess.run([ref_binary, "0"], stdin=f,
+                                 capture_output=True, timeout=300)
+        ref_pcm = np.frombuffer(ref.stdout, dtype=np.int16).astype(float)
+
+        ours = subprocess.run(
+            [sys.executable, "-m", "sdr_tpu.cli", "--mode", "0", str(raw)],
+            capture_output=True, timeout=500,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        our_pcm = np.frombuffer(ours.stdout, dtype=np.int16).astype(float)
+
+        # our mono is delay-matched (+75 IF = 15 audio samples at decim
+        # 10/5); the reference mono-only build applies no delay
+        d = 15
+        n = min(len(ref_pcm), len(our_pcm) - d)
+        assert n > 8000
+        err = np.abs(ref_pcm[:n] - our_pcm[d:d + n])
+        assert err.max() <= 2 and err.mean() < 0.05, (err.max(), err.mean())
+
+
 class TestRdsDecode:
     def test_gf2_syndromes_match_matrixMult(self, ref, rng):
         bits = rng.integers(0, 2, size=26)
