@@ -166,6 +166,45 @@ class TestReferenceBinary:
         assert err.max() <= 2 and err.mean() < 0.05, (err.max(), err.mean())
 
 
+    def test_mode2_gain_quirk_measured(self, ref_binary, tmp_path):
+        """Empirically pin the documented C++ x(U+1) resampler-gain
+        divergence (src/filter.cpp:213 / threadMonoOnly.cpp:396 vs the
+        Python model's xU): the binary's mode-2 audio must be exactly
+        (U+1)/U = 148/147 times ours, shape-identical."""
+        import subprocess
+        import sys
+
+        from sdr_tpu.utils import synth
+        res = synth.synthesize_fm(duration_s=0.25, mode=2, seed=52,
+                                  with_rds=False)
+        raw = tmp_path / "x2.raw"
+        res.iq_u8.tofile(raw)
+
+        with open(raw, "rb") as f:
+            ref = subprocess.run([ref_binary, "2"], stdin=f,
+                                 capture_output=True, timeout=300)
+        ref_pcm = np.frombuffer(ref.stdout, dtype=np.int16).astype(float)
+
+        ours = subprocess.run(
+            [sys.executable, "-m", "sdr_tpu.cli", "--mode", "2", str(raw)],
+            capture_output=True, timeout=500,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        our_pcm = np.frombuffer(ours.stdout, dtype=np.int16).astype(float)
+
+        # our delay-matching offset is 75 IF * 147/800 = 13.78 audio
+        # samples — align at the best integer lag
+        n = min(len(ref_pcm), len(our_pcm)) - 20
+        a = ref_pcm[500:n]
+        best = max(range(10, 18), key=lambda d: np.dot(
+            a, our_pcm[500 + d:n + d]))
+        b = our_pcm[500 + best:n + best]
+        corr = np.corrcoef(a, b)[0, 1]
+        ratio = np.dot(a, b) / np.dot(b, b)
+        assert corr > 0.995, corr
+        assert abs(ratio - 148.0 / 147.0) < 3e-3, ratio
+
+
 class TestRdsDecode:
     def test_gf2_syndromes_match_matrixMult(self, ref, rng):
         bits = rng.integers(0, 2, size=26)
