@@ -96,6 +96,25 @@ class TestChannelParallel:
             np.testing.assert_allclose(left[:, c], np.asarray(souts.left),
                                        atol=1e-4)
 
+    def test_256_channel_batch_shape(self, mesh8):
+        """The pod-scale config (BASELINE.json): a 256-channel batch
+        sharded over the mesh compiles and runs with per-device shards of
+        32 channels; spot-check one channel against a serial run."""
+        mc = cfg.get_mode_config(0)
+        bs = 4000 * 2 * mc.rf_decim  # small block for test speed
+        r = synth.synthesize_fm(duration_s=0.05, mode=0, seed=0,
+                                with_rds=False)
+        one = synth.u8_to_float(r.iq_u8)[:bs]
+        iqc = np.tile(one, (256, 1))
+        outs, state = channel_sharded_run(iqc, mesh8, 0, stereo=True,
+                                          axis="d", block_size=bs)
+        left = np.asarray(outs.left)
+        assert left.shape[1] == 256
+        rxs = trx.Receiver(0, stereo=True)
+        ref = rxs.process(one)
+        np.testing.assert_allclose(left[0, 17], np.asarray(ref.left),
+                                   atol=1e-5)
+
     def test_output_is_sharded(self, mesh8):
         mc = cfg.get_mode_config(0)
         bs = mc.default_block_size()
