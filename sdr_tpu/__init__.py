@@ -68,34 +68,51 @@ def receive(iq, mode: int | Mode | ModeConfig = 0, stereo: bool = True,
 
     ``iq`` is a path to a raw interleaved-u8 file, a u8 array, or a
     normalized float array.  Returns concatenated audio (mono always;
-    left/right when ``stereo``) and decoded RDS frames/info words.
+    left/right when ``stereo``) and decoded RDS frames/info words.  The
+    capture is consumed to the last whole block multiple (a sub-24 ms
+    tail is processed as a final smaller block, not dropped).
     """
+    import os
+
     import numpy as np
 
-    from sdr_tpu import io as sio
     from sdr_tpu.models import rds_decode
     from sdr_tpu.models import receiver as rx
 
-    if isinstance(iq, str):
+    if isinstance(iq, (str, os.PathLike)):
         iq = np.fromfile(iq, dtype=np.uint8)
+    iq = np.asarray(iq)
     mc = mode if isinstance(mode, ModeConfig) else get_mode_config(mode)
     with_rds = rds and mc.rds is not None
+    gran = mc.if_block_multiple(with_rds) * 2 * mc.rf_decim
+    usable = len(iq) // gran * gran
+    if usable == 0:
+        raise ValueError(
+            f"capture of {len(iq)} samples is shorter than one block "
+            f"multiple ({gran} interleaved u8 samples) for mode "
+            f"{int(mc.mode)}{' with RDS' if with_rds else ''}")
     r = rx.Receiver(mc, stereo=stereo, with_rds=with_rds)
-    outs = r.run(np.asarray(iq))
+    bs = min(mc.default_block_size(with_rds), usable)
+    outs = r.run(iq[:usable // bs * bs], block_size=bs)
+    parts = [outs]
+    tail = iq[usable // bs * bs: usable]
+    if len(tail):
+        parts.append(r.process(tail))
 
-    flat = lambda a: np.asarray(a).reshape(-1)
+    flat = lambda arrs: np.concatenate(
+        [np.asarray(a).reshape(-1) for a in arrs])
     frames: list = []
     words = np.zeros((0, 16), np.int64)
     if with_rds:
-        dec = rds_decode.decode_robust(np.asarray(outs.rds_symbols),
-                                       mc.rds.sps)
+        dec = rds_decode.decode_robust(
+            flat([p.rds_symbols for p in parts]), mc.rds.sps)
         frames = dec.frames.matches
         words = dec.info_words
     return ReceiveResult(
         audio_fs=mc.audio_fs,
-        mono=flat(outs.mono),
-        left=flat(outs.left) if stereo else None,
-        right=flat(outs.right) if stereo else None,
+        mono=flat([p.mono for p in parts]),
+        left=flat([p.left for p in parts]) if stereo else None,
+        right=flat([p.right for p in parts]) if stereo else None,
         rds_frames=frames,
         rds_info_words=words,
     )

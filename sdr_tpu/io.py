@@ -92,12 +92,18 @@ def print_first_last(x: np.ndarray, n: int = 5, label: str = "",
                      stream=None) -> None:
     """Debug printer: first/last n values (ref printFirstLastN,
     src/iofunc.cpp:113-124 — the reference's golden-vs-C++ comparison
-    surface, data/data/pipeData.txt)."""
+    surface, data/data/pipeData.txt).  Handles complex values and arrays
+    shorter than 2n (printed once, no overlap)."""
     stream = stream or sys.stderr
     x = np.asarray(x).reshape(-1)
-    head = ", ".join(f"{v:.9f}" for v in x[:n])
-    tail = ", ".join(f"{v:.9f}" for v in x[-n:])
-    print(f"{label}[{len(x)}]: [{head} ... {tail}]", file=stream)
+    fmt = (str if np.iscomplexobj(x) else (lambda v: f"{v:.9f}"))
+    if len(x) <= 2 * n:
+        body = ", ".join(fmt(v) for v in x)
+    else:
+        head = ", ".join(fmt(v) for v in x[:n])
+        tail = ", ".join(fmt(v) for v in x[-n:])
+        body = f"{head} ... {tail}"
+    print(f"{label}[{len(x)}]: [{body}]", file=stream)
 
 
 def stdin_binary() -> BinaryIO:

@@ -55,6 +55,22 @@ class TestOneCallApi:
         n = min(len(out2.mono), len(out.mono))
         np.testing.assert_allclose(out2.mono[:n], out.mono[:n], atol=1e-6)
 
+    def test_receive_handles_short_and_tiny_captures(self):
+        import sdr_tpu
+
+        res = synth.synthesize_fm(duration_s=0.06, mode=0, seed=2,
+                                  with_rds=False)
+        # shorter than one default block: still demodulates via a smaller
+        # block + tail
+        out = sdr_tpu.receive(res.iq_u8, mode=0, rds=False)
+        mc = cfg.get_mode_config(0)
+        gran = mc.if_block_multiple(False) * 2 * mc.rf_decim
+        expect = len(res.iq_u8) // gran * gran // (2 * mc.rf_decim * 5)
+        assert len(out.mono) == expect
+        # sub-block-multiple capture: clear error, not empty output
+        with pytest.raises(ValueError, match="shorter than one block"):
+            sdr_tpu.receive(res.iq_u8[:50], mode=0)
+
 
 class TestCustomMode:
     def test_custom_rates_receive(self):
