@@ -135,3 +135,27 @@ class TestRdsBits:
         # symbols alternate (+,-),(-,+)... -> manchester 1,0,1,0,...
         np.testing.assert_array_equal(bits[:6], [1, 0, 1, 0, 1, 0])
         assert st.prev_size == len(symbols)
+
+
+class TestCdrFuzz:
+    """The symbol decoders must never crash or loop forever on arbitrary
+    soft-symbol streams (the reference CDR's restart loop is the risk)."""
+
+    def test_reference_cdr_on_noise(self, rng):
+        from sdr_tpu.golden import rds as grds
+        st = grds.CdrState()
+        for b in range(4):
+            x = rng.normal(size=26 * 40) * 0.6
+            bits, st = grds.cdr(x, 26, st, b)
+            assert np.isfinite(bits).all() and len(bits) <= 26 * 40
+
+    def test_robust_and_tracking_on_noise_and_extremes(self, rng):
+        from sdr_tpu.golden import rds as grds
+        for x in [rng.normal(size=26 * 100),
+                  np.zeros(26 * 100),
+                  np.full(26 * 100, 5.0),
+                  rng.normal(size=26 * 3)]:
+            b1, _, _ = grds.cdr_robust(x, 26)
+            b2 = grds.cdr_tracking(x, 26, window_symbols=32)
+            assert set(np.unique(b1)).issubset({0, 1})
+            assert set(np.unique(b2)).issubset({0, 1})

@@ -182,6 +182,23 @@ class TestPll:
             np.testing.assert_allclose(bi[r], si, atol=1e-5)
             np.testing.assert_allclose(bq[r], sq, atol=1e-5)
 
+    @pytest.mark.parametrize("df", [-80.0, -25.0, 0.0, 25.0, 80.0])
+    def test_lock_capture_range(self, df):
+        """The pilot PLL must lock across realistic frequency offsets
+        (crystal tolerance); after lock the doubled NCO tracks 2x the
+        actual pilot frequency."""
+        fs = 240e3
+        n = 24000
+        t = np.arange(n) / fs
+        x = 0.35 * np.sin(2 * np.pi * (19e3 + df) * t + 1.1)
+        params = jpll.PllParams(freq=19e3, fs=fs, nco_scale=2.0)
+        ji, _, _ = jpll.pll_block(_f32(x), jpll.pll_init(nco_q_last=0.0),
+                                  params)
+        tail = np.asarray(ji)[-8000:]
+        xf = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+        peak = np.fft.rfftfreq(len(tail), 1 / fs)[np.argmax(xf[10:]) + 10]
+        assert abs(peak - 2 * (19e3 + df)) < 60.0, (peak, df)
+
     def test_wrap_modulus(self):
         assert jpll.PllParams(19e3, 240e3, 2.0).wrap_modulus == pytest.approx(
             2 * np.pi)
