@@ -231,24 +231,18 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     mono, upd["mono_fir"] = _audio_fir(fm_delayed, coeffs.audio,
                                        s.mono_fir, mc)
 
-    # --- Stereo (src/project.cpp:154-309) ---------------------------------
+    # --- Band-pass arms (stereo src/project.cpp:154-309; RDS
+    # model/fmRDS.py:222-254).  When BOTH arms are on, their carrier-
+    # recovery PLLs — the receiver's only sequential recurrences — are
+    # fused into ONE scan (ops.pll.pll_block_fused): bit-identical
+    # outputs, half the serial loop length per block.
+    rds_on = with_rds and mc.rds is not None
     if stereo:
         st_filt, upd["stereo_bpf"] = jfir.fir_block(fm, coeffs.stereo,
                                                     s.stereo_bpf)
         pi_filt, upd["pilot_bpf"] = jfir.fir_block(fm, coeffs.pilot,
                                                    s.pilot_bpf)
-        nco, _, upd["pilot_pll"] = jpll.pll_block(pi_filt, s.pilot_pll,
-                                                  pilot_pll_params(mc))
-        mixer = nco[..., :-1] * st_filt * 2.0
-        st_final, upd["stereo_fir"] = _audio_fir(mixer, coeffs.audio,
-                                                 s.stereo_fir, mc)
-        left = mono + st_final
-        right = mono - st_final
-    else:
-        left = right = empty
-
-    # --- RDS DSP to soft symbols (model/fmRDS.py:222-254) -----------------
-    if with_rds and mc.rds is not None:
+    if rds_on:
         r = mc.rds
         chan, upd["rds_channel"] = jfir.fir_block(fm, coeffs.rds_channel,
                                                   s.rds_channel)
@@ -257,8 +251,35 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         carrier, upd["rds_carrier"] = jfir.fir_block(chan * chan,
                                                      coeffs.rds_carrier,
                                                      s.rds_carrier)
-        nco_r, nco_rq, upd["rds_pll"] = jpll.pll_block(carrier, s.rds_pll,
-                                                       rds_pll_params(mc))
+
+    if stereo and rds_on:
+        pll_in = jnp.stack([pi_filt, carrier], axis=-2)       # (..., 2, N)
+        pll_st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                              s.pilot_pll, s.rds_pll)
+        ncos, ncos_q, pll_out = jpll.pll_block_fused(
+            pll_in, pll_st, (pilot_pll_params(mc), rds_pll_params(mc)))
+        nco, nco_r = ncos[..., 0, :], ncos[..., 1, :]
+        nco_rq = ncos_q[..., 1, :]
+        upd["pilot_pll"] = jax.tree.map(lambda l: l[..., 0], pll_out)
+        upd["rds_pll"] = jax.tree.map(lambda l: l[..., 1], pll_out)
+    else:
+        if stereo:
+            nco, _, upd["pilot_pll"] = jpll.pll_block(pi_filt, s.pilot_pll,
+                                                      pilot_pll_params(mc))
+        if rds_on:
+            nco_r, nco_rq, upd["rds_pll"] = jpll.pll_block(
+                carrier, s.rds_pll, rds_pll_params(mc))
+
+    if stereo:
+        mixer = nco[..., :-1] * st_filt * 2.0
+        st_final, upd["stereo_fir"] = _audio_fir(mixer, coeffs.audio,
+                                                 s.stereo_fir, mc)
+        left = mono + st_final
+        right = mono - st_final
+    else:
+        left = right = empty
+
+    if rds_on:
         rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
         resampled, upd["rds_resampler"] = jfir.fir_block_resample(
             rds_mixer, coeffs.rds_resampler, s.rds_resampler,

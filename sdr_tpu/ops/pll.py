@@ -70,6 +70,46 @@ def pll_init(nco_last: float = 1.0, nco_q_last: float = 0.0,
 _PI = float(np.pi)
 
 
+def _pll_scan_free(xs, state, kp, ki, w, m, scale, adj, unroll):
+    """Transcendental-free PLL recurrence over time-major ``xs``.
+
+    The loop constants (kp/ki/w/m/scale/adj) may be scalars or arrays
+    broadcastable against the carried state — array constants let several
+    *different* PLLs (e.g. the 19 kHz pilot and the 114 kHz RDS carrier)
+    share ONE scan, halving the serial loop length of the fused receiver
+    DAG (see ``pll_block_fused``).
+    """
+    two_pi = 2.0 * _PI
+
+    def wrap_pi(a):
+        return a - two_pi * jnp.floor(a / two_pi + 0.5)
+
+    def step(carry, xk):
+        integ, phase, psi, aw = carry
+        err_pos = -aw
+        err_neg = jnp.where(aw > 0, _PI - aw, -_PI - aw)
+        err_zero = jnp.where(jnp.abs(aw) < _PI / 2, 0.0,
+                             jnp.where(aw > 0, -_PI, _PI))
+        err = jnp.where(xk > 0, err_pos,
+                        jnp.where(xk < 0, err_neg, err_zero))
+        integ = integ + ki * err
+        phase = jnp.mod(phase + kp * err + integ, m)
+        psi = jnp.mod(psi + w, m)
+        arg = psi + phase
+        return (integ, phase, psi, wrap_pi(arg)), arg
+
+    # recover the carried feedback angle (wrapped is all err needs)
+    aw0 = jnp.arctan2(state.feedback_q, state.feedback_i)
+    carry0 = (state.integrator, state.phase_est, state.osc_phase, aw0)
+    carry, args = lax.scan(step, carry0, xs, unroll=unroll)
+    # all trig vectorized over the block (VPU), outside the recurrence
+    outs_i = jnp.cos(args * scale + adj)
+    outs_q = jnp.sin(args * scale + adj)
+    fb_i_last = jnp.cos(carry[3])
+    fb_q_last = jnp.sin(carry[3])
+    return carry, outs_i, outs_q, fb_i_last, fb_q_last
+
+
 def pll_block(x: jnp.ndarray, state: PllState, params: PllParams,
               use_atan2: bool = False,
               unroll: int = 32) -> tuple[jnp.ndarray, jnp.ndarray, PllState]:
@@ -125,34 +165,46 @@ def pll_block(x: jnp.ndarray, state: PllState, params: PllParams,
         carry, (outs_i, outs_q) = lax.scan(step, carry0, xs, unroll=unroll)
         fb_i_last, fb_q_last = carry[3], carry[4]
     else:
-        two_pi = 2.0 * _PI
+        carry, outs_i, outs_q, fb_i_last, fb_q_last = _pll_scan_free(
+            xs, state, kp, ki, w, m, scale, adj, unroll)
 
-        def wrap_pi(a):
-            return a - two_pi * jnp.floor(a / two_pi + 0.5)
+    outs_i = jnp.moveaxis(outs_i, 0, -1)
+    outs_q = jnp.moveaxis(outs_q, 0, -1)
+    nco_i = jnp.concatenate([state.nco_last[..., None], outs_i], axis=-1)
+    nco_q = jnp.concatenate([state.nco_q_last[..., None], outs_q], axis=-1)
+    new_state = PllState(carry[0], carry[1], carry[2], fb_i_last, fb_q_last,
+                         nco_i[..., -1], nco_q[..., -1])
+    return nco_i, nco_q, new_state
 
-        def step(carry, xk):
-            integ, phase, psi, aw = carry
-            err_pos = -aw
-            err_neg = jnp.where(aw > 0, _PI - aw, -_PI - aw)
-            err_zero = jnp.where(jnp.abs(aw) < _PI / 2, 0.0,
-                                 jnp.where(aw > 0, -_PI, _PI))
-            err = jnp.where(xk > 0, err_pos,
-                            jnp.where(xk < 0, err_neg, err_zero))
-            integ = integ + ki * err
-            phase = jnp.mod(phase + kp * err + integ, m)
-            psi = jnp.mod(psi + w, m)
-            arg = psi + phase
-            return (integ, phase, psi, wrap_pi(arg)), arg
 
-        # recover the carried feedback angle (wrapped is all err needs)
-        aw0 = jnp.arctan2(state.feedback_q, state.feedback_i)
-        carry0 = (state.integrator, state.phase_est, state.osc_phase, aw0)
-        carry, args = lax.scan(step, carry0, xs, unroll=unroll)
-        # all trig vectorized over the block (VPU), outside the recurrence
-        outs_i = jnp.cos(args * scale + adj)
-        outs_q = jnp.sin(args * scale + adj)
-        fb_i_last = jnp.cos(carry[3])
-        fb_q_last = jnp.sin(carry[3])
+def pll_block_fused(x: jnp.ndarray, state: PllState,
+                    params_seq: tuple[PllParams, ...],
+                    unroll: int = 32
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, PllState]:
+    """Run K *different* PLLs in lockstep through ONE scan.
+
+    ``x`` has shape (..., K, N) with row k driven by ``params_seq[k]``;
+    every ``state`` leaf has shape (..., K).  The per-sample math is
+    elementwise-identical to K separate ``pll_block`` calls (the loop
+    constants just become length-K vectors), so outputs are bit-identical
+    — but the receiver's sequential bottleneck (SURVEY.md "hard parts"
+    #1) runs once instead of K times.  Used by the stereo+RDS DAG to fuse
+    the 19 kHz pilot PLL (src/project.cpp:237) and the 114 kHz RDS
+    carrier PLL (model/fmRDS.py:236-237) into a single recurrence.
+    """
+    k = len(params_seq)
+    assert x.shape[-2] == k, (x.shape, k)
+    vec = lambda vals: jnp.asarray(vals, dtype=x.dtype)
+    kp = vec([p.norm_bandwidth * _CP for p in params_seq])
+    ki = vec([p.norm_bandwidth ** 2 * _CI for p in params_seq])
+    w = vec([2.0 * np.pi * p.freq / p.fs for p in params_seq])
+    m = vec([p.wrap_modulus for p in params_seq])
+    scale = vec([p.nco_scale for p in params_seq])
+    adj = vec([p.phase_adjust for p in params_seq])
+
+    xs = jnp.moveaxis(x, -1, 0)  # (N, ..., K): scan time, vectorize K
+    carry, outs_i, outs_q, fb_i_last, fb_q_last = _pll_scan_free(
+        xs, state, kp, ki, w, m, scale, adj, unroll)
 
     outs_i = jnp.moveaxis(outs_i, 0, -1)
     outs_q = jnp.moveaxis(outs_q, 0, -1)

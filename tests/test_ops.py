@@ -199,6 +199,39 @@ class TestPll:
         peak = np.fft.rfftfreq(len(tail), 1 / fs)[np.argmax(xf[10:]) + 10]
         assert abs(peak - 2 * (19e3 + df)) < 60.0, (peak, df)
 
+    def test_fused_pair_bit_identical_to_separate(self):
+        """pll_block_fused(pilot, rds_carrier) must reproduce the two
+        independent pll_block runs bit-for-bit — the fusion only turns
+        the loop constants into length-2 vectors (same elementwise ops),
+        so any difference is a bug.  Streams 3 blocks to cover the
+        carried state too."""
+        fs = 240e3
+        p_pilot = jpll.PllParams(freq=19e3, fs=fs, nco_scale=2.0,
+                                 norm_bandwidth=0.01)
+        p_rds = jpll.PllParams(freq=114e3, fs=fs, nco_scale=0.5,
+                               phase_adjust=3 * np.pi / 8,
+                               norm_bandwidth=0.002)
+        rng = np.random.default_rng(7)
+        t = np.arange(6000) / fs
+        xp = 0.4 * np.sin(2 * np.pi * 19010 * t + 0.2)
+        xr = 0.1 * np.sin(2 * np.pi * 113985 * t + 1.7)
+        xp += 0.02 * rng.standard_normal(6000)
+        xr += 0.02 * rng.standard_normal(6000)
+
+        sp, sr = jpll.pll_init(), jpll.pll_init(nco_q_last=1.0)
+        sf = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1), sp, sr)
+        for b in range(3):
+            bp = _f32(xp[b * 2000:(b + 1) * 2000])
+            br = _f32(xr[b * 2000:(b + 1) * 2000])
+            ip, qp, sp = jpll.pll_block(bp, sp, p_pilot)
+            ir, qr, sr = jpll.pll_block(br, sr, p_rds)
+            fi, fq, sf = jpll.pll_block_fused(
+                jnp.stack([bp, br], axis=-2), sf, (p_pilot, p_rds))
+            np.testing.assert_array_equal(np.asarray(fi[0]), np.asarray(ip))
+            np.testing.assert_array_equal(np.asarray(fi[1]), np.asarray(ir))
+            np.testing.assert_array_equal(np.asarray(fq[0]), np.asarray(qp))
+            np.testing.assert_array_equal(np.asarray(fq[1]), np.asarray(qr))
+
     def test_wrap_modulus(self):
         assert jpll.PllParams(19e3, 240e3, 2.0).wrap_modulus == pytest.approx(
             2 * np.pi)
