@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
 def _main_wideband(args) -> int:
     """Wideband serving path: channelize + batched receive, one wav per
     station (out path PREFIX_<k>.wav), RDS per station on stderr."""
-    from sdr_tpu.models import rds_decode
+    from sdr_tpu.models import rds_decode, rds_groups
     from sdr_tpu.models import receiver as rx
     from sdr_tpu.models.channelizer import Channelizer
 
@@ -129,6 +129,9 @@ def _main_wideband(args) -> int:
         if sym is not None:
             dec = rds_decode.decode_robust(sym[k], mc.rds.sps)
             msg += f" | RDS {len(dec.frames.matches)} frames"
+            st = rds_groups.decode_station_from(dec)
+            if st.n_groups and st.pi is not None:
+                msg += f" PI={st.pi:04X} PS={st.ps_name!r}"
         print(msg, file=sys.stderr)
     if args.stats:
         pairs = n_blocks * bs_wide / 2
@@ -140,10 +143,12 @@ def _main_wideband(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from sdr_tpu.utils.device import ensure_reachable_backend
+    ensure_reachable_backend()
     import jax
 
     from sdr_tpu.models import receiver as rx
-    from sdr_tpu.models import rds_decode
+    from sdr_tpu.models import rds_decode, rds_groups
 
     if args.wideband:
         return _main_wideband(args)
@@ -233,6 +238,13 @@ def main(argv=None) -> int:
               file=sys.stderr)
         for w in dec.info_words[:8]:
             print("RDS info:", "".join(map(str, w)), file=sys.stderr)
+        st = rds_groups.decode_station_from(dec)
+        if st.n_groups:
+            pi = f"{st.pi:04X}" if st.pi is not None else "----"
+            print(f"RDS station: PI={pi} PTY={st.pty} TP={st.tp} "
+                  f"PS={st.ps_name!r} RT={st.radiotext!r} "
+                  f"({st.n_groups} groups {st.group_counts})",
+                  file=sys.stderr)
 
     if args.stats and n_blocks:
         pairs = n_blocks * bs / 2

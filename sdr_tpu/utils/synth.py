@@ -89,6 +89,61 @@ def rds_encode_groups(rng: np.ndarray | np.random.Generator,
     return info, np.concatenate(blocks)
 
 
+@dataclasses.dataclass(frozen=True)
+class StationConfig:
+    """Programme information for a structured RDS transmission
+    (decoded back by models.rds_groups.decode_station)."""
+
+    pi: int = 0x3D44
+    pty: int = 10                 # "Pop Music"
+    ps: str = "SDR TPU "          # 8-char Programme Service name
+    radiotext: str = "TPU-NATIVE FM RECEIVER"
+    tp: bool = False
+
+
+def _int_to_bits(value: int, width: int) -> np.ndarray:
+    return np.array([(value >> (width - 1 - i)) & 1 for i in range(width)],
+                    dtype=np.int64)
+
+
+def rds_encode_station(station: StationConfig,
+                       n_groups: int) -> tuple[np.ndarray, np.ndarray]:
+    """Structured RDS groups -> (info_bits (n_groups,4,16), framed_bits).
+
+    Schedules the standard acquisition mix: each cycle sends the four 0A
+    groups (PS name segments) followed by the 2A groups covering the
+    RadioText (terminated with 0x0D), repeating until ``n_groups``.  The
+    inverse of models.rds_groups.decode_station.
+    """
+    ps = station.ps.ljust(8)[:8]
+    rt = station.radiotext[:63] + "\r"
+    rt = rt + " " * (-len(rt) % 4)
+    n_rt = len(rt) // 4
+
+    def b_word(gtype: int, low5: int) -> int:
+        return ((gtype << 12) | (int(station.tp) << 10)
+                | ((station.pty & 0x1F) << 5) | (low5 & 0x1F))
+
+    schedule: list[tuple[int, int, int, int]] = []      # (A, B, C, D) words
+    for addr in range(4):
+        d = (ord(ps[2 * addr]) << 8) | ord(ps[2 * addr + 1])
+        # block C of 0A carries AF codes; 0xCDCD = "filler" twice
+        schedule.append((station.pi, b_word(0, addr), 0xCDCD, d))
+    for addr in range(n_rt):
+        seg = rt[4 * addr: 4 * addr + 4]
+        c = (ord(seg[0]) << 8) | ord(seg[1])
+        d = (ord(seg[2]) << 8) | ord(seg[3])
+        schedule.append((station.pi, b_word(2, addr), c, d))
+
+    info = np.stack([
+        np.stack([_int_to_bits(w, 16)
+                  for w in schedule[g % len(schedule)]])
+        for g in range(n_groups)])
+    blocks = [rds_encode_block(info[g, b], grds.OFFSET_SEQUENCE[b])
+              for g in range(n_groups) for b in range(4)]
+    return info, np.concatenate(blocks)
+
+
 def diff_encode(bits: np.ndarray) -> np.ndarray:
     """Inverse of golden diff_decode (out[i] = in[i] ^ in[i-1], out[0]=in[0])."""
     return np.bitwise_xor.accumulate(np.asarray(bits, dtype=np.int64))
@@ -115,16 +170,22 @@ class SynthResult:
 
 
 def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
-                         n_groups: int, clock_ppm: float = 0.0
+                         n_groups: int, clock_ppm: float = 0.0,
+                         station: "StationConfig | None" = None
                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """RRC-shaped bipolar Manchester symbol stream at rf_fs, length n.
 
     ``clock_ppm`` offsets the transmit symbol clock (parts-per-million) to
     model real hardware oscillators drifting against the receiver's grid.
+    ``station`` switches from random info words to the structured
+    programme-information groups of ``rds_encode_station``.
     """
     from sdr_tpu.golden.filters import rrc_taps
 
-    info, framed = rds_encode_groups(rng, n_groups)
+    if station is not None:
+        info, framed = rds_encode_station(station, n_groups)
+    else:
+        info, framed = rds_encode_groups(rng, n_groups)
     symbols = manchester_encode(diff_encode(framed))
     # Biphase-element rate IS the 2375 sym/s the receiver chain samples at
     # (config.RDS_SYMBOL_RATE; model/fmSupportLib.py:264 T = 1/2375): each
@@ -150,7 +211,8 @@ def _shaped_rds_baseband(n: int, rf_fs: float, rng: np.random.Generator,
 def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
                      rng: np.random.Generator, tone_l: float, tone_r: float,
                      with_stereo: bool, with_rds: bool,
-                     rds_clock_ppm: float):
+                     rds_clock_ppm: float,
+                     rds_station: StationConfig | None = None):
     """Composite FM multiplex + ground truth at an arbitrary sample rate
     (shared by the single-station and wideband synthesizers)."""
     n = int(round(duration_s * fs))
@@ -174,7 +236,8 @@ def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
     if with_rds and mc.rds is not None:
         n_groups = max(2, int(duration_s * cfg.RDS_SYMBOL_RATE / 2 / 104) + 1)
         shaped, rds_info, rds_framed = _shaped_rds_baseband(
-            n, fs, rng, n_groups, clock_ppm=rds_clock_ppm)
+            n, fs, rng, n_groups, clock_ppm=rds_clock_ppm,
+            station=rds_station)
         pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * t
         # 57 kHz = 3x pilot, phase-locked
         mpx = mpx + 0.06 * shaped * np.sin(3.0 * pilot_phase)
@@ -186,15 +249,21 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
                   with_stereo: bool = True, with_rds: bool = True,
                   deviation_hz: float = 75e3,
                   noise_std: float = 0.0,
-                  rds_clock_ppm: float = 0.0) -> SynthResult:
-    """Synthesize an FM station and return u8 IQ + ground truth."""
+                  rds_clock_ppm: float = 0.0,
+                  rds_station: StationConfig | None = None) -> SynthResult:
+    """Synthesize an FM station and return u8 IQ + ground truth.
+
+    ``rds_station`` transmits structured programme information (PI/PTY/
+    PS name/RadioText) instead of random groups — the full-chain ground
+    truth for models.rds_groups.decode_station.
+    """
     mc = cfg.get_mode_config(mode)
     rng = np.random.default_rng(seed)
     rf_fs = mc.rf_fs
     n = int(round(duration_s * rf_fs))
     mpx, left, right, rds_info, rds_framed = _build_multiplex(
         duration_s, rf_fs, mc, rng, tone_l, tone_r, with_stereo, with_rds,
-        rds_clock_ppm)
+        rds_clock_ppm, rds_station=rds_station)
 
     # FM modulate: instantaneous frequency = deviation * mpx
     phase = 2 * np.pi * deviation_hz * np.cumsum(mpx) / rf_fs
