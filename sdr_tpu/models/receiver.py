@@ -184,11 +184,18 @@ def _audio_fir(x, h, state, mc: cfg.ModeConfig):
     return jfir.fir_block_decim(x, h, state, mc.audio_decim)
 
 
+def _auto_pallas() -> bool:
+    """Pallas kernels are the measured-fastest path on TPU; elsewhere they
+    would run under the (slow) interpreter, so default to XLA there."""
+    return jax.default_backend() == "tpu"
+
+
 def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   state: ReceiverState, mc: cfg.ModeConfig,
                   stereo: bool = True, with_rds: bool = False,
                   pallas_frontend: bool = False,
-                  rds_debug_q: bool = False
+                  rds_debug_q: bool = False,
+                  pallas_pll: bool = False
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
@@ -211,6 +218,13 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     # --- RF front-end (ref src/project.cpp:40-152) -----------------------
     i_raw = iq[..., 0::2]
     q_raw = iq[..., 1::2]
+    if pallas_frontend:
+        from sdr_tpu.ops import pallas_fir
+        # huge channel batches exceed the kernel's VMEM window; the XLA
+        # conv handles those (shapes are static, so this is a trace-time
+        # decision)
+        pallas_frontend = pallas_fir.frontend_fits_vmem(
+            2 * int(np.prod(iq.shape[:-1])), mc.rf_decim)
     if pallas_frontend:
         from sdr_tpu.ops import pallas_fir
         iq2 = jnp.stack([i_raw, q_raw], axis=-2)       # (..., 2, N_rf)
@@ -252,11 +266,17 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                                                      coeffs.rds_carrier,
                                                      s.rds_carrier)
 
+    if pallas_pll:
+        from sdr_tpu.ops import pallas_pll as jppll
+        fused_fn, single_fn = (jppll.pll_block_fused_pallas,
+                               jppll.pll_block_pallas)
+    else:
+        fused_fn, single_fn = jpll.pll_block_fused, jpll.pll_block
     if stereo and rds_on:
         pll_in = jnp.stack([pi_filt, carrier], axis=-2)       # (..., 2, N)
         pll_st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
                               s.pilot_pll, s.rds_pll)
-        ncos, ncos_q, pll_out = jpll.pll_block_fused(
+        ncos, ncos_q, pll_out = fused_fn(
             pll_in, pll_st, (pilot_pll_params(mc), rds_pll_params(mc)))
         nco, nco_r = ncos[..., 0, :], ncos[..., 1, :]
         nco_rq = ncos_q[..., 1, :]
@@ -264,10 +284,10 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         upd["rds_pll"] = jax.tree.map(lambda l: l[..., 1], pll_out)
     else:
         if stereo:
-            nco, _, upd["pilot_pll"] = jpll.pll_block(pi_filt, s.pilot_pll,
-                                                      pilot_pll_params(mc))
+            nco, _, upd["pilot_pll"] = single_fn(pi_filt, s.pilot_pll,
+                                                 pilot_pll_params(mc))
         if rds_on:
-            nco_r, nco_rq, upd["rds_pll"] = jpll.pll_block(
+            nco_r, nco_rq, upd["rds_pll"] = single_fn(
                 carrier, s.rds_pll, rds_pll_params(mc))
 
     if stereo:
@@ -309,21 +329,33 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 # custom configs (cfg.custom_mode) compile distinct programs correctly.
 @functools.partial(jax.jit, static_argnames=("mc", "stereo", "with_rds",
                                              "pallas_frontend",
-                                             "rds_debug_q"))
+                                             "rds_debug_q", "pallas_pll"))
 def _block_step(iq, coeffs, state, mc, stereo, with_rds,
-                pallas_frontend=False, rds_debug_q=False):
+                pallas_frontend=False, rds_debug_q=False, pallas_pll=False):
     return process_block(iq, coeffs, state, mc, stereo=stereo,
                          with_rds=with_rds, pallas_frontend=pallas_frontend,
-                         rds_debug_q=rds_debug_q)
+                         rds_debug_q=rds_debug_q, pallas_pll=pallas_pll)
 
 
 def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
-                  with_rds: bool = False, pallas_frontend: bool = False,
-                  rds_debug_q: bool = False):
-    """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode."""
+                  with_rds: bool = False,
+                  pallas_frontend: bool | None = None,
+                  rds_debug_q: bool = False,
+                  pallas_pll: bool | None = None):
+    """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode.
+
+    The ``pallas_*`` kernel selectors default to auto: the Pallas kernels
+    on TPU (measured fastest; bit-identical PLL, parity-gated FIR), the
+    XLA paths elsewhere.
+    """
+    if pallas_frontend is None:
+        pallas_frontend = _auto_pallas()
+    if pallas_pll is None:
+        pallas_pll = _auto_pallas()
+
     def fn(iq, coeffs, state):
         return _block_step(iq, coeffs, state, mc, stereo, with_rds,
-                           pallas_frontend, rds_debug_q)
+                           pallas_frontend, rds_debug_q, pallas_pll)
     return fn
 
 
@@ -342,10 +374,13 @@ def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
     """
     mc = (mode if isinstance(mode, cfg.ModeConfig)
           else cfg.get_mode_config(mode))
+    use_pallas = _auto_pallas()
 
     def step(st, iq):
         out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
-                                with_rds=with_rds)
+                                with_rds=with_rds,
+                                pallas_frontend=use_pallas,
+                                pallas_pll=use_pallas)
         return st, out
 
     final_state, outs = lax.scan(step, state, iq_blocks)

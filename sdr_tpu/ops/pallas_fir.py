@@ -61,8 +61,20 @@ def _kernel(hr_ref, x2_ref, out_ref, scratch, sem, *, tile: int,
     out_ref[...] = acc
 
 
+#: VMEM budget for the DMA scratch window (the chip has ~16 MB/core; leave
+#: room for the output block and double buffering).
+_SCRATCH_BUDGET_BYTES = 4 << 20
+
+
+def frontend_fits_vmem(batch: int, decim: int) -> bool:
+    """True when the kernel's smallest scratch window fits the VMEM budget
+    for this batch size — callers fall back to the XLA conv otherwise."""
+    d_rows = _cdiv(decim, 8) * 8
+    return batch * d_rows * (256 + 128) * 4 <= _SCRATCH_BUDGET_BYTES
+
+
 def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
-                     tile: int = 2048,
+                     tile: int | None = None,
                      interpret: bool | None = None) -> jnp.ndarray:
     """Batched streaming decimating FIR on the extended input.
 
@@ -71,7 +83,9 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
     bit-comparable to the XLA conv path.  Jit-compatible (``h`` may be
     traced); shapes/decim are static.  ``interpret`` defaults to the
     Pallas interpreter on non-TPU backends so the same code path runs
-    everywhere.
+    everywhere.  ``tile`` defaults to the largest lane tile whose
+    ``(batch, decim, tile)`` scratch window fits the VMEM budget, so big
+    channel batches shrink the tile instead of blowing VMEM.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -85,6 +99,11 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
     lead = xc.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
     xf = xc.reshape(b, n_ext)
+
+    if tile is None:
+        d_rows = _cdiv(decim, 8) * 8
+        budget_lanes = _SCRATCH_BUDGET_BYTES // (b * d_rows * 4)
+        tile = int(np.clip((budget_lanes - r_rows) // 128 * 128, 256, 2048))
 
     n_tiles = _cdiv(n_out, tile)
     # rows must reach index (n_out + r_rows - 1); lanes must reach the last

@@ -19,14 +19,22 @@ import sys
 _PROBE = "import jax, jax.numpy as jnp; print(jnp.ones(2).sum())"
 
 
-def accelerator_healthy(timeout_s: float = 120.0) -> bool:
-    """True when the default jax backend initializes and runs one op."""
-    try:
-        r = subprocess.run([sys.executable, "-c", _PROBE],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+def accelerator_healthy(timeout_s: float = 120.0,
+                        attempts: int = 2) -> bool:
+    """True when the default jax backend initializes and runs one op.
+
+    Tunneled backends flap on a timescale of seconds — one probe can hang
+    while the next connects in under ten — so retry before declaring the
+    accelerator unreachable."""
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def ensure_reachable_backend(timeout_s: float = 120.0) -> bool:

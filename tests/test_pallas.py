@@ -48,3 +48,92 @@ class TestFirDecimPallas:
                 jnp.asarray(h, jnp.float32), st, 10, interpret=True)
             outs.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(outs), full, atol=2e-5)
+
+
+class TestPllPallas:
+    """The Pallas PLL kernel must be BIT-identical to the lax.scan path
+    (same elementwise ops, measured bit-equal on v5e hardware too)."""
+
+    def _params(self):
+        import jax
+        from sdr_tpu.models import receiver as rx
+        from sdr_tpu import config as cfg
+        mc = cfg.get_mode_config(0)
+        return rx.pilot_pll_params(mc), rx.rds_pll_params(mc)
+
+    def test_fused_pair_bit_identical(self):
+        import jax
+        from sdr_tpu.ops import pll as jpll
+        from sdr_tpu.ops import pallas_pll as ppll
+        p1, p2 = self._params()
+        rng = np.random.default_rng(11)
+        fs = p1.fs
+        t = np.arange(5760) / fs
+        x1 = 0.4 * np.sin(2 * np.pi * 19010 * t) + 0.02 * rng.standard_normal(5760)
+        x2 = 0.1 * np.sin(2 * np.pi * 113985 * t) + 0.02 * rng.standard_normal(5760)
+        x = jnp.stack([jnp.asarray(x1, jnp.float32),
+                       jnp.asarray(x2, jnp.float32)], axis=-2)
+        st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                          jpll.pll_init(), jpll.pll_init(nco_q_last=1.0))
+        sa = sb = st
+        for b in range(3):
+            xb = x[..., b * 1920:(b + 1) * 1920]
+            ia, qa, sa = jpll.pll_block_fused(xb, sa, (p1, p2))
+            ib, qb, sb = ppll.pll_block_fused_pallas(xb, sb, (p1, p2),
+                                                     interpret=True)
+            np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+            np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+        for f in sa._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(sa, f)),
+                                          np.asarray(getattr(sb, f)))
+
+    def test_single_and_batched(self):
+        import jax
+        from sdr_tpu.ops import pll as jpll
+        from sdr_tpu.ops import pallas_pll as ppll
+        p1, _ = self._params()
+        rng = np.random.default_rng(12)
+        # batch of 3 channels -> 3 lanes; plus unbatched call
+        xs = rng.standard_normal((3, 2000)).astype(np.float32)
+        bst = jax.tree.map(lambda l: jnp.broadcast_to(l, (3,)),
+                           jpll.pll_init())
+        bi, bq, _ = jpll.pll_block(jnp.asarray(xs), bst, p1)
+        pi_, pq, _ = ppll.pll_block_pallas(jnp.asarray(xs), bst, p1,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(pi_))
+        si, _, _ = jpll.pll_block(jnp.asarray(xs[0]), jpll.pll_init(), p1)
+        pi1, _, _ = ppll.pll_block_pallas(jnp.asarray(xs[0]),
+                                          jpll.pll_init(), p1,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi1))
+
+    def test_receiver_block_with_pallas_pll(self):
+        """pallas_pll alone must leave the receiver block BIT-identical
+        (same front-end, bit-equal PLL); with pallas_frontend too, outputs
+        stay within the 1e-3 parity gate (the front-end's f32 FMA vs the
+        conv's 3-pass bf16 rounding is amplified through the unlocked
+        PLL's acquisition transient)."""
+        import jax
+        from sdr_tpu import config as cfg
+        from sdr_tpu.models import receiver as rx
+        mc = cfg.get_mode_config(0)
+        coeffs = rx.design_coeffs(mc)
+        rng = np.random.default_rng(13)
+        bs = mc.default_block_size(True)
+        iq = jnp.asarray(rng.uniform(-1, 1, bs).astype(np.float32))
+        st = rx.init_state(mc)
+        o1, s1 = rx.process_block(iq, coeffs, st, mc, stereo=True,
+                                  with_rds=True)
+        o2, s2 = rx.process_block(iq, coeffs, st, mc, stereo=True,
+                                  with_rds=True, pallas_pll=True)
+        np.testing.assert_array_equal(np.asarray(o1.left),
+                                      np.asarray(o2.left))
+        np.testing.assert_array_equal(np.asarray(o1.rds_symbols),
+                                      np.asarray(o2.rds_symbols))
+        o3, _ = rx.process_block(iq, coeffs, st, mc, stereo=True,
+                                 with_rds=True, pallas_frontend=True,
+                                 pallas_pll=True)
+        np.testing.assert_allclose(np.asarray(o3.left), np.asarray(o1.left),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(o3.rds_symbols),
+                                   np.asarray(o1.rds_symbols), atol=1e-3)
