@@ -11,10 +11,17 @@ for a batch of channels in one pass, with a layout chosen for the TPU's
 
 * the padded input is reshaped to polyphase rows and TRANSPOSED to
   ``(B, D, n_out + R)`` so the long (time) axis lies along lanes;
-* each grid program DMAs one ``(D, tile + R)`` window from HBM into VMEM
-  and accumulates R*D scalar-coefficient x lane-vector FMAs — every
-  operand stays in lane orientation, no relayouts anywhere;
-* coefficients live in SMEM (R*D scalars), streamed by the scalar core.
+* the grid walks lane tiles with two PIPELINE-MANAGED input blocks — the
+  main ``(B, D, tile)`` window plus a small shifted halo block covering
+  the next ``R-1`` rows (polyphase windows overlap by R rows; standard
+  BlockSpecs cannot overlap, so the halo is a second, gather-shifted view
+  of the same array).  Everything Mosaic touches is a bounded VMEM block:
+  whole-array (ANY/HBM) operands are staged into scoped VMEM by XLA's
+  layout pass on this toolchain, which OOMs compile at large channel
+  batches — the original manual-DMA design hit exactly that at 128 lanes;
+* coefficients live in SMEM (R*D scalars), streamed by the scalar core;
+* the tile width shrinks automatically as the batch grows so the blocks
+  plus scratch stay inside the VMEM budget.
 
 Cost per tile: R*D fused multiply-adds over ``tile`` lanes — the polyphase
 minimum (identical MAC count to the reference's loop), at full VPU lane
@@ -31,6 +38,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: lanes of the halo block (must be 128-aligned and >= r_rows of any mode)
+_HALO = 128
+#: VMEM budget for all per-tile blocks + scratch (chip has ~16 MB/core;
+#: leave headroom for Mosaic's own buffers and pipeline double buffering)
+_VMEM_BUDGET_BYTES = 10 << 20
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -46,31 +59,45 @@ def _phase_coeffs(h: jnp.ndarray, decim: int) -> jnp.ndarray:
     return hr.reshape(r_rows, decim)
 
 
-def _kernel(hr_ref, x2_ref, out_ref, scratch, sem, *, tile: int,
-            r_rows: int, decim: int, batch: int, win: int):
-    ti = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x2_ref.at[:, :, pl.ds(ti * tile, win)], scratch, sem)
-    dma.start()
-    dma.wait()
-    acc = jnp.zeros((batch, tile), jnp.float32)
-    for r in range(r_rows):
-        for p in range(decim):
-            c = hr_ref[r, p]
-            acc = acc + c * scratch[:, p, pl.ds(r, tile)]
-    out_ref[...] = acc
+def _auto_tile(b: int, d_pad: int) -> int:
+    """Largest lane tile whose blocks fit the VMEM budget: 2x main tile
+    (double buffering) + the assembled window scratch + halo/out blocks."""
+    bytes_per_lane = b * d_pad * 4
+    lanes = _VMEM_BUDGET_BYTES // bytes_per_lane
+    tile = (lanes - 3 * _HALO) // 3
+    return int(np.clip(tile // 128 * 128, 128, 2048))
 
 
-#: VMEM budget for the DMA scratch window (the chip has ~16 MB/core; leave
-#: room for the output block and double buffering).
-_SCRATCH_BUDGET_BYTES = 4 << 20
+def _kernel(hr_ref, xm_ref, xh_ref, out_ref, win, *, tile: int,
+            r_rows: int, decim: int, batch: int):
+    # assemble the overlapped window once: [main tile | halo rows];
+    # refs are phase-major (D, B, lanes) so the fori_loop below can index
+    # the phase dim dynamically (it is untiled; dynamic LANE starts would
+    # need 128-alignment Mosaic cannot prove, and dynamic sublanes 8-)
+    win[:, :, :tile] = xm_ref[...]
+    win[:, :, tile:] = xh_ref[...]
+
+    # loop (not unroll) over phases: a fully unrolled R*D-step FMA chain
+    # leaves R*D live (batch, tile) temporaries on Mosaic's VMEM stack,
+    # which OOMs compile at large batches (observed 60.7 MB at 128 lanes);
+    # the loop bounds the stack to one phase's R static-shift temps
+    def phase(p, acc):
+        w = win[p]
+        for r in range(r_rows):
+            acc = acc + hr_ref[r, p] * w[:, r:r + tile]
+        return acc
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, decim, phase, jnp.zeros((batch, tile), jnp.float32))
 
 
 def frontend_fits_vmem(batch: int, decim: int) -> bool:
-    """True when the kernel's smallest scratch window fits the VMEM budget
-    for this batch size — callers fall back to the XLA conv otherwise."""
-    d_rows = _cdiv(decim, 8) * 8
-    return batch * d_rows * (256 + 128) * 4 <= _SCRATCH_BUDGET_BYTES
+    """True when a 128-lane tile still fits the VMEM budget for this batch
+    size (the _auto_tile formula un-clipped) — callers fall back to the
+    XLA conv otherwise."""
+    d_pad = _cdiv(decim, 8) * 8
+    lanes = _VMEM_BUDGET_BYTES // (batch * d_pad * 4)
+    return (lanes - 3 * _HALO) // 3 >= 128
 
 
 def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
@@ -83,9 +110,7 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
     bit-comparable to the XLA conv path.  Jit-compatible (``h`` may be
     traced); shapes/decim are static.  ``interpret`` defaults to the
     Pallas interpreter on non-TPU backends so the same code path runs
-    everywhere.  ``tile`` defaults to the largest lane tile whose
-    ``(batch, decim, tile)`` scratch window fits the VMEM budget, so big
-    channel batches shrink the tile instead of blowing VMEM.
+    everywhere.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -95,48 +120,58 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
     assert n % decim == 0, (n, decim)
     n_out = n // decim
     r_rows = _cdiv(k, decim)
+    assert r_rows <= _HALO, (r_rows, _HALO)
 
     lead = xc.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
     xf = xc.reshape(b, n_ext)
 
-    if tile is None:
-        d_rows = _cdiv(decim, 8) * 8
-        budget_lanes = _SCRATCH_BUDGET_BYTES // (b * d_rows * 4)
-        tile = int(np.clip((budget_lanes - r_rows) // 128 * 128, 256, 2048))
-
-    n_tiles = _cdiv(n_out, tile)
-    # rows must reach index (n_out + r_rows - 1); lanes must reach the last
-    # tile's DMA window; Mosaic wants the sublane (phase) dim 8-aligned and
-    # DMA windows lane(128)-aligned
     d_pad = _cdiv(decim, 8) * 8
-    win = _cdiv(tile + r_rows, 128) * 128
-    row_pad = (n_out + r_rows) * decim - n_ext
+    if tile is None:
+        tile = _auto_tile(b, d_pad)
+    n_tiles = _cdiv(n_out, tile)
+
+    # polyphase rows, phase-major leading: x2[p, b, m] = xf[b, m*decim + p]
+    n_rows = n_tiles * tile + _HALO
+    row_pad = n_rows * decim - n_ext
     xf = jnp.pad(xf, ((0, 0), (0, row_pad)))
-    x2 = xf.reshape(b, n_out + r_rows, decim).swapaxes(1, 2)
-    lane_pad = (n_tiles - 1) * tile + win - (n_out + r_rows)
-    x2 = jnp.pad(x2, ((0, 0), (0, d_pad - decim), (0, lane_pad)))
+    x2 = jnp.transpose(xf.reshape(b, n_rows, decim), (2, 0, 1))
+    x2 = jnp.pad(x2, ((0, d_pad - decim), (0, 0), (0, 0)))
+
+    # halo view: xh[..., ti*_HALO + r] = x2[..., ti*tile + tile + r]
+    # (windows overlap the NEXT tile by r_rows-1 rows; gathered once here so
+    # every kernel operand is a bounded pipeline block)
+    hidx = (np.arange(n_tiles)[:, None] * tile + tile
+            + np.arange(_HALO)[None, :])
+    hidx = np.minimum(hidx, n_rows - 1).reshape(-1)
+    xh = x2[:, :, jnp.asarray(hidx)]
+    # grid x block must cover each operand EXACTLY: this toolchain stages
+    # any not-fully-covered operand wholesale into scoped VMEM, so trim the
+    # halo tail off the main operand
+    x2 = x2[:, :, : n_tiles * tile]
 
     hr = _phase_coeffs(h, decim)
     kern = functools.partial(_kernel, tile=tile, r_rows=r_rows, decim=decim,
-                             batch=b, win=win)
+                             batch=b)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # hr coefficients
-            pl.BlockSpec(memory_space=pl.ANY),       # x2 stays in HBM
+            pl.BlockSpec((d_pad, b, tile), lambda ti: (0, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, b, _HALO), lambda ti: (0, 0, ti),
+                         memory_space=pltpu.VMEM),
         ],
         # batch rides the sublane dimension: block covers all rows
         out_specs=pl.BlockSpec((b, tile), lambda ti: (0, ti),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((b, d_pad, win), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((d_pad, b, tile + _HALO), jnp.float32),
         ],
         interpret=interpret,
-    )(hr, x2)
+    )(hr, x2, xh)
     return out[:, :n_out].reshape(lead + (n_out,))
 
 
