@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-N_CHANNELS = int(os.environ.get("SDR_BENCH_CHANNELS", "64"))
+N_CHANNELS = int(os.environ.get("SDR_BENCH_CHANNELS", "128"))
 N_TIMED = int(os.environ.get("SDR_BENCH_BLOCKS", "60"))
 N_TIMED_SINGLE = int(os.environ.get("SDR_BENCH_BLOCKS_SINGLE", "150"))
 

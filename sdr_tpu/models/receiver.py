@@ -242,8 +242,9 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 
     # --- Mono, delay-matched to the band-pass arms (src/project.cpp:198) --
     fm_delayed, upd["mono_allpass"] = jfir.allpass_delay(fm, s.mono_allpass)
-    mono, upd["mono_fir"] = _audio_fir(fm_delayed, coeffs.audio,
-                                       s.mono_fir, mc)
+    if not stereo:
+        mono, upd["mono_fir"] = _audio_fir(fm_delayed, coeffs.audio,
+                                           s.mono_fir, mc)
 
     # --- Band-pass arms (stereo src/project.cpp:154-309; RDS
     # model/fmRDS.py:222-254).  When BOTH arms are on, their carrier-
@@ -251,15 +252,26 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     # fused into ONE scan (ops.pll.pll_block_fused): bit-identical
     # outputs, half the serial loop length per block.
     rds_on = with_rds and mc.rds is not None
-    if stereo:
-        st_filt, upd["stereo_bpf"] = jfir.fir_block(fm, coeffs.stereo,
-                                                    s.stereo_bpf)
-        pi_filt, upd["pilot_bpf"] = jfir.fir_block(fm, coeffs.pilot,
-                                                   s.pilot_bpf)
+    if stereo and rds_on and mc.rds_taps == mc.stereo_taps:
+        # the three band-passes share input AND length: one conv with the
+        # taps on the feature dimension (MXU) instead of three C=1 convs;
+        # their overlap-save states are all the same fm tail
+        hs = jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel])
+        filt3, tail = jfir.fir_block_multi(fm, hs, s.stereo_bpf)
+        st_filt, pi_filt, chan = (filt3[..., 0, :], filt3[..., 1, :],
+                                  filt3[..., 2, :])
+        upd["stereo_bpf"] = upd["pilot_bpf"] = upd["rds_channel"] = tail
+    else:
+        if stereo:
+            hs = jnp.stack([coeffs.stereo, coeffs.pilot])
+            filt2, tail = jfir.fir_block_multi(fm, hs, s.stereo_bpf)
+            st_filt, pi_filt = filt2[..., 0, :], filt2[..., 1, :]
+            upd["stereo_bpf"] = upd["pilot_bpf"] = tail
+        if rds_on:
+            chan, upd["rds_channel"] = jfir.fir_block(fm, coeffs.rds_channel,
+                                                      s.rds_channel)
     if rds_on:
         r = mc.rds
-        chan, upd["rds_channel"] = jfir.fir_block(fm, coeffs.rds_channel,
-                                                  s.rds_channel)
         chan_delayed, upd["rds_allpass"] = jfir.allpass_delay(chan,
                                                               s.rds_allpass)
         carrier, upd["rds_carrier"] = jfir.fir_block(chan * chan,
@@ -292,8 +304,14 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 
     if stereo:
         mixer = nco[..., :-1] * st_filt * 2.0
-        st_final, upd["stereo_fir"] = _audio_fir(mixer, coeffs.audio,
-                                                 s.stereo_fir, mc)
+        # mono + stereo share the audio LPF/resampler: one batched call
+        # (stacked on a new leading axis) instead of two
+        pair = jnp.stack([fm_delayed, mixer], axis=-2)
+        st_pair = jnp.stack([s.mono_fir, s.stereo_fir], axis=-2)
+        out2, nst2 = _audio_fir(pair, coeffs.audio, st_pair, mc)
+        mono, st_final = out2[..., 0, :], out2[..., 1, :]
+        upd["mono_fir"] = nst2[..., 0, :]
+        upd["stereo_fir"] = nst2[..., 1, :]
         left = mono + st_final
         right = mono - st_final
     else:

@@ -70,6 +70,37 @@ def fir_block(x: jnp.ndarray, h: jnp.ndarray,
     return fir_block_decim(x, h, state, 1)
 
 
+def fir_block_multi(x: jnp.ndarray, hs: jnp.ndarray, states: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One input through C different same-length FIRs in ONE conv.
+
+    ``hs`` is (C, K); ``states`` is a single shared (..., K-1) carry — FIR
+    state is the trailing input tail, which is identical for every arm
+    filtering the same input with the same length.  Returns
+    ((..., C, N), new_state).
+
+    The receiver's stereo/pilot/RDS-channel band-passes all filter the
+    same FM-demodulated signal (src/project.cpp:202-207,
+    model/fmRDS.py:223): as one conv with C output features the taps ride
+    the MXU's feature dimension instead of C separate C_out=1 convs.
+    """
+    k = hs.shape[-1]
+    c = hs.shape[0]
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    xc = jnp.concatenate([states, x], axis=-1)
+    lhs = xc.reshape((-1, 1, xc.shape[-1]))
+    rhs = hs[:, None, ::-1].astype(xc.dtype)           # (C, 1, K)
+    y = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGH,
+    )[..., :n]
+    new_state = xc[..., xc.shape[-1] - (k - 1):]
+    return y.reshape(lead + (c, n)), new_state
+
+
 def fir_block_decim(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
                     decim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming decimating FIR (ref: src/filter.cpp:158-188).
