@@ -52,32 +52,14 @@ def _stream(fn, coeffs, state, blocks, n_timed):
     return dt
 
 
-def _accelerator_healthy(timeout_s: int = 120, attempts: int = 3) -> bool:
-    """Probe the default backend in a subprocess: the dev chip's tunnel
-    sometimes hangs indefinitely, which would leave the driver with no
-    benchmark result at all — fall back to CPU in that case.  The tunnel
-    flaps on a timescale of seconds (one probe can hang while the next
-    connects in 8s), so retry before giving up on the hardware number."""
-    import subprocess
-    for a in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(jnp.ones(2).sum())"],
-                timeout=timeout_s, capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"# accelerator probe {a + 1}/{attempts} failed",
-              file=sys.stderr)
-    return False
-
-
 def main() -> None:
     import jax
 
-    if not _accelerator_healthy():
+    from sdr_tpu.utils.device import accelerator_healthy
+
+    # the dev chip's tunnel sometimes hangs indefinitely, which would leave
+    # the driver with no benchmark result at all — fall back to CPU then
+    if not accelerator_healthy(attempts=3):
         # must happen before the backend initializes in THIS process
         jax.config.update("jax_platforms", "cpu")
         print("# accelerator unreachable; benchmarking on CPU fallback",

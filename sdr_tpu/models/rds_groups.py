@@ -118,6 +118,8 @@ def decode_station(groups: list[Group]) -> StationInfo:
     ps_seen = np.zeros(4, dtype=bool)
     rt = [" "] * 64
     rt_seen = np.zeros(16, dtype=bool)
+    rt_char_seen = np.zeros(64, dtype=bool)
+    rt_ab: int | None = None
     counts: Counter = Counter()
 
     for g in groups:
@@ -137,25 +139,43 @@ def decode_station(groups: list[Group]) -> StationInfo:
             ps[2 * addr + 1] = _char(d & 0xFF)
             ps_seen[addr] = True
         elif g.gtype == 2:                       # 2A/2B: RadioText
+            # Text A/B flag (block B bit 4, IEC 62106 §3.1.5.3): a flip
+            # announces a NEW message — stale characters of the previous
+            # one must not bleed into it
+            ab = (b >> 4) & 1
+            if rt_ab is not None and ab != rt_ab:
+                rt = [" "] * 64
+                rt_seen[:] = False
+                rt_char_seen[:] = False
+            rt_ab = ab
             addr = b & 0xF
             if g.version == "A":
                 c = bits_to_int(g.words[2])
                 d = bits_to_int(g.words[3])
                 chars = [c >> 8, c & 0xFF, d >> 8, d & 0xFF]
                 rt[4 * addr: 4 * addr + 4] = [_char(x) for x in chars]
+                rt_char_seen[4 * addr: 4 * addr + 4] = True
             else:
                 d = bits_to_int(g.words[3])
                 rt[2 * addr: 2 * addr + 2] = [_char(d >> 8),
                                               _char(d & 0xFF)]
+                rt_char_seen[2 * addr: 2 * addr + 2] = True
             rt_seen[addr] = True
 
     text = "".join(rt)
     if "\r" in text:                             # 0x0D terminates RadioText
         text = text[: text.index("\r")]
+    else:
+        # no terminator received: drop only trailing chars of UNRECEIVED
+        # segments (rendered as filler spaces); received trailing spaces
+        # are part of the message and stay
+        last = int(np.max(np.nonzero(rt_char_seen)[0])) + 1 \
+            if rt_char_seen.any() else 0
+        text = text[:last]
     mode = lambda c: c.most_common(1)[0][0] if c else None
     return StationInfo(pi=mode(pi_votes), pty=mode(pty_votes),
                        tp=mode(tp_votes), ps_name="".join(ps),
-                       radiotext=text.rstrip(), ps_seen=ps_seen,
+                       radiotext=text, ps_seen=ps_seen,
                        rt_seen=rt_seen, n_groups=len(groups),
                        group_counts=dict(counts))
 

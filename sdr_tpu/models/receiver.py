@@ -59,7 +59,14 @@ class ReceiverCoeffs(NamedTuple):
 class ReceiverState(NamedTuple):
     """Inter-block carry — the checkpointable state machine
     (ref STATES struct src/project.cpp:29-36,446-468; SURVEY.md §5
-    checkpoint/resume).  Every leaf may carry leading batch dims."""
+    checkpoint/resume).  Every leaf may carry leading batch dims.
+
+    Aliasing note: ``stereo_bpf``/``pilot_bpf``/``rds_channel`` are all
+    overlap-save tails of the SAME ``fm`` signal, so the fused three-band
+    conv path (process_block) reads only ``stereo_bpf`` and writes the
+    one shared tail into all three — valid because they are identical by
+    construction on every path that maintains them.  The unfused path
+    honors the per-arm states individually."""
 
     rf_i: jnp.ndarray
     rf_q: jnp.ndarray
@@ -220,13 +227,6 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     q_raw = iq[..., 1::2]
     if pallas_frontend:
         from sdr_tpu.ops import pallas_fir
-        # huge channel batches exceed the kernel's VMEM window; the XLA
-        # conv handles those (shapes are static, so this is a trace-time
-        # decision)
-        pallas_frontend = pallas_fir.frontend_fits_vmem(
-            2 * int(np.prod(iq.shape[:-1])), mc.rf_decim)
-    if pallas_frontend:
-        from sdr_tpu.ops import pallas_fir
         iq2 = jnp.stack([i_raw, q_raw], axis=-2)       # (..., 2, N_rf)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
         ds2, nst2 = pallas_fir.fir_block_decim_pallas(iq2, coeffs.rf, st2,
@@ -345,9 +345,13 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 
 # ModeConfig is a frozen (hashable) dataclass: it IS the static jit key, so
 # custom configs (cfg.custom_mode) compile distinct programs correctly.
+# The state pytree is DONATED: every caller chains it (out state replaces
+# in state), so XLA reuses its buffers in place — no per-step allocation
+# or copy for the carry in the streaming regime.
 @functools.partial(jax.jit, static_argnames=("mc", "stereo", "with_rds",
                                              "pallas_frontend",
-                                             "rds_debug_q", "pallas_pll"))
+                                             "rds_debug_q", "pallas_pll"),
+                   donate_argnames=("state",))
 def _block_step(iq, coeffs, state, mc, stereo, with_rds,
                 pallas_frontend=False, rds_debug_q=False, pallas_pll=False):
     return process_block(iq, coeffs, state, mc, stereo=stereo,

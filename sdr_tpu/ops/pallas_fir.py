@@ -11,17 +11,20 @@ for a batch of channels in one pass, with a layout chosen for the TPU's
 
 * the padded input is reshaped to polyphase rows and TRANSPOSED to
   ``(B, D, n_out + R)`` so the long (time) axis lies along lanes;
-* the grid walks lane tiles with two PIPELINE-MANAGED input blocks — the
-  main ``(B, D, tile)`` window plus a small shifted halo block covering
-  the next ``R-1`` rows (polyphase windows overlap by R rows; standard
-  BlockSpecs cannot overlap, so the halo is a second, gather-shifted view
-  of the same array).  Everything Mosaic touches is a bounded VMEM block:
-  whole-array (ANY/HBM) operands are staged into scoped VMEM by XLA's
-  layout pass on this toolchain, which OOMs compile at large channel
-  batches — the original manual-DMA design hit exactly that at 128 lanes;
+* the grid walks (batch tile, lane tile) pairs with two PIPELINE-MANAGED
+  input blocks — the main ``(D, Bt, tile)`` window plus a small shifted
+  halo block covering the next ``R-1`` rows (polyphase windows overlap by
+  R rows; standard BlockSpecs cannot overlap, so the halo is a second,
+  gather-shifted view of the same array).  Everything Mosaic touches is a
+  bounded VMEM block: whole-array (ANY/HBM) operands are staged into
+  scoped VMEM by XLA's layout pass on this toolchain, which OOMs compile
+  at large channel batches — the original manual-DMA design hit exactly
+  that at 128 lanes;
 * coefficients live in SMEM (R*D scalars), streamed by the scalar core;
-* the tile width shrinks automatically as the batch grows so the blocks
-  plus scratch stay inside the VMEM budget.
+* the batch rides a SECOND grid dimension, so arbitrarily large channel
+  batches stream through fixed-size VMEM blocks (no fallback to the XLA
+  conv in the serving regime); the (batch tile, lane tile) pair is chosen
+  to fill — but never exceed — the VMEM budget.
 
 Cost per tile: R*D fused multiply-adds over ``tile`` lanes — the polyphase
 minimum (identical MAC count to the reference's loop), at full VPU lane
@@ -59,13 +62,21 @@ def _phase_coeffs(h: jnp.ndarray, decim: int) -> jnp.ndarray:
     return hr.reshape(r_rows, decim)
 
 
-def _auto_tile(b: int, d_pad: int) -> int:
-    """Largest lane tile whose blocks fit the VMEM budget: 2x main tile
-    (double buffering) + the assembled window scratch + halo/out blocks."""
-    bytes_per_lane = b * d_pad * 4
-    lanes = _VMEM_BUDGET_BYTES // bytes_per_lane
-    tile = (lanes - 3 * _HALO) // 3
-    return int(np.clip(tile // 128 * 128, 128, 2048))
+def _auto_tiles(b_pad: int, d_pad: int) -> tuple[int, int]:
+    """Pick (batch tile, lane tile) so all per-step blocks fit the VMEM
+    budget: 2x main tile (double buffering) + the assembled window scratch
+    + halo/out blocks — about ``3*tile + 3*_HALO`` lanes of ``bt*d_pad``
+    sublane rows.  Small batches take the whole batch in one block with
+    the largest lane tile; large batches tile the batch at a fixed
+    1024-lane tile (halo DMA overhead _HALO/tile = 12.5%)."""
+    lanes = _VMEM_BUDGET_BYTES // (b_pad * d_pad * 4)
+    tile = (lanes - 3 * _HALO) // 3 // 128 * 128
+    if tile >= 1024:
+        return b_pad, min(int(tile), 2048)
+    tile = 1024
+    bt = _VMEM_BUDGET_BYTES // (d_pad * 4 * (3 * tile + 3 * _HALO))
+    bt = max(8, bt // 8 * 8)
+    return min(bt, b_pad), tile
 
 
 def _kernel(hr_ref, xm_ref, xh_ref, out_ref, win, *, tile: int,
@@ -91,17 +102,8 @@ def _kernel(hr_ref, xm_ref, xh_ref, out_ref, win, *, tile: int,
         0, decim, phase, jnp.zeros((batch, tile), jnp.float32))
 
 
-def frontend_fits_vmem(batch: int, decim: int) -> bool:
-    """True when a 128-lane tile still fits the VMEM budget for this batch
-    size (the _auto_tile formula un-clipped) — callers fall back to the
-    XLA conv otherwise."""
-    d_pad = _cdiv(decim, 8) * 8
-    lanes = _VMEM_BUDGET_BYTES // (batch * d_pad * 4)
-    return (lanes - 3 * _HALO) // 3 >= 128
-
-
 def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
-                     tile: int | None = None,
+                     tile: int | None = None, b_tile: int | None = None,
                      interpret: bool | None = None) -> jnp.ndarray:
     """Batched streaming decimating FIR on the extended input.
 
@@ -127,15 +129,20 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
     xf = xc.reshape(b, n_ext)
 
     d_pad = _cdiv(decim, 8) * 8
-    if tile is None:
-        tile = _auto_tile(b, d_pad)
+    b_pad = _cdiv(b, 8) * 8
+    bt_auto, tile_auto = _auto_tiles(b_pad, d_pad)
+    tile = tile if tile is not None else tile_auto
+    bt = b_tile if b_tile is not None else bt_auto
     n_tiles = _cdiv(n_out, tile)
+    n_btiles = _cdiv(b_pad, bt)
+    b_full = n_btiles * bt
+    xf = jnp.pad(xf, ((0, b_full - b), (0, 0)))
 
     # polyphase rows, phase-major leading: x2[p, b, m] = xf[b, m*decim + p]
     n_rows = n_tiles * tile + _HALO
     row_pad = n_rows * decim - n_ext
     xf = jnp.pad(xf, ((0, 0), (0, row_pad)))
-    x2 = jnp.transpose(xf.reshape(b, n_rows, decim), (2, 0, 1))
+    x2 = jnp.transpose(xf.reshape(b_full, n_rows, decim), (2, 0, 1))
     x2 = jnp.pad(x2, ((0, d_pad - decim), (0, 0), (0, 0)))
 
     # halo view: xh[..., ti*_HALO + r] = x2[..., ti*tile + tile + r]
@@ -152,27 +159,30 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
 
     hr = _phase_coeffs(h, decim)
     kern = functools.partial(_kernel, tile=tile, r_rows=r_rows, decim=decim,
-                             batch=b)
+                             batch=bt)
     out = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        # lane tiles innermost: consecutive steps walk time within one
+        # batch tile (best input-block pipeline locality)
+        grid=(n_btiles, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # hr coefficients
-            pl.BlockSpec((d_pad, b, tile), lambda ti: (0, 0, ti),
+            pl.BlockSpec((d_pad, bt, tile), lambda bi, ti: (0, bi, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, b, _HALO), lambda ti: (0, 0, ti),
+            pl.BlockSpec((d_pad, bt, _HALO), lambda bi, ti: (0, bi, ti),
                          memory_space=pltpu.VMEM),
         ],
-        # batch rides the sublane dimension: block covers all rows
-        out_specs=pl.BlockSpec((b, tile), lambda ti: (0, ti),
+        # batch rides the sublane dimension of the output block
+        out_specs=pl.BlockSpec((bt, tile), lambda bi, ti: (bi, ti),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_full, n_tiles * tile),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((d_pad, b, tile + _HALO), jnp.float32),
+            pltpu.VMEM((d_pad, bt, tile + _HALO), jnp.float32),
         ],
         interpret=interpret,
     )(hr, x2, xh)
-    return out[:, :n_out].reshape(lead + (n_out,))
+    return out[:b, :n_out].reshape(lead + (n_out,))
 
 
 def fir_block_decim_pallas(x: jnp.ndarray, h: jnp.ndarray,

@@ -97,6 +97,11 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     n_blocks = seg // block_raw + n_skip_blocks
 
     coeffs = rx.design_coeffs(mc)
+    # same kernel selection as the contiguous paths (Receiver.run /
+    # run_blocks_scan auto-enable Pallas on TPU): sharded and contiguous
+    # runs must pick IDENTICAL kernels or the bit-match invariant on the
+    # linear arms breaks at the ~2e-5 Pallas-vs-XLA-conv level
+    use_pallas = rx._auto_pallas()
 
     # only enabled arms are returned — zero-length placeholders cannot carry
     # a sharded PartitionSpec
@@ -132,7 +137,9 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
 
         def step(st, blk):
             out, st = rx.process_block(blk, coeffs, st, mc, stereo=stereo,
-                                       with_rds=with_rds)
+                                       with_rds=with_rds,
+                                       pallas_frontend=use_pallas,
+                                       pallas_pll=use_pallas)
             return st, {a: out._asdict()[a] for a in arms}
 
         # warm-up scan over the halo blocks (outputs discarded)

@@ -35,6 +35,31 @@ class TestFirDecimPallas:
             gy, _ = gfilt.block_fir_decim(xs[r], h, states[r], 10)
             np.testing.assert_allclose(jy[r], gy, atol=2e-5)
 
+    def test_batch_tiled(self, rng):
+        """Large channel batches stream through a second grid dimension
+        (fixed-size VMEM blocks) instead of falling back to the XLA conv;
+        padding rows and tile boundaries must not leak into results."""
+        h = gfilt.lowpass_taps(151, 2.4e6, 100e3)
+        xs = rng.normal(size=(20, 4000))
+        states = rng.normal(size=(20, 150))
+        xc = jnp.asarray(np.concatenate([states, xs], -1), jnp.float32)
+        jy = pallas_fir.fir_decim_pallas(
+            xc, jnp.asarray(h, jnp.float32), 10, tile=256, b_tile=8,
+            interpret=True)
+        for r in range(20):
+            gy, _ = gfilt.block_fir_decim(xs[r], h, states[r], 10)
+            np.testing.assert_allclose(jy[r], gy, atol=2e-5)
+
+    def test_auto_tiles_bounded(self):
+        """The (batch tile, lane tile) choice stays inside the VMEM budget
+        at any batch size (the round-1 kernel fell back past ~128ch)."""
+        for b in (8, 256, 2048, 8192):
+            for d_pad in (8, 16):
+                bt, tile = pallas_fir._auto_tiles(b, d_pad)
+                lanes = 3 * tile + 3 * pallas_fir._HALO
+                assert bt * d_pad * 4 * lanes <= pallas_fir._VMEM_BUDGET_BYTES
+                assert bt % 8 == 0 and tile % 128 == 0 and bt <= b
+
     def test_streaming_state_chain(self, rng):
         """Block-to-block state carry equals one contiguous pass."""
         h = gfilt.lowpass_taps(151, 2.4e6, 100e3)
