@@ -36,21 +36,32 @@ def _flatten_with_paths(state: rx.ReceiverState) -> dict[str, np.ndarray]:
 
 
 def save(path: str, state: rx.ReceiverState, mode: int | cfg.Mode,
-         block_count: int = 0, extra: dict[str, Any] | None = None) -> str:
+         block_count: int = 0, extra: dict[str, Any] | None = None,
+         host_arrays: dict[str, np.ndarray] | None = None) -> str:
     """Write state + metadata to ``<path>`` (.npz appended if missing);
     returns the path actually written (np.savez appends the extension
-    silently, so callers must report THIS name)."""
+    silently, so callers must report THIS name).
+
+    ``extra`` is JSON-able metadata; ``host_arrays`` carries host-side
+    decoder state (e.g. the streaming RDS carry — CDR state, bit backlog,
+    pending frames: models.rds_decode.StreamingRdsDecoder.state_dict) so
+    a resume reproduces the uninterrupted output stream exactly, device
+    AND host side.
+    """
     if not path.endswith(".npz"):
         path = path + ".npz"
     flat = _flatten_with_paths(state)
     meta = {"mode": int(mode), "block_count": int(block_count),
             "extra": extra or {}}
-    np.savez(path, __meta__=json.dumps(meta), **flat)
+    host = {f"host/{k}": np.asarray(v)
+            for k, v in (host_arrays or {}).items()}
+    np.savez(path, __meta__=json.dumps(meta), **flat, **host)
     return path
 
 
 def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
-    """Read a checkpoint; returns (state, meta)."""
+    """Read a checkpoint; returns (state, meta).  Host-side arrays saved
+    via ``host_arrays`` come back under ``meta["host_arrays"]``."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
@@ -59,6 +70,8 @@ def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
         template = rx.init_state(mc)
         flat = _flatten_with_paths(template)
         batchless = {k: z[k] for k in flat}
+        meta["host_arrays"] = {k[len("host/"):]: z[k] for k in z.files
+                               if k.startswith("host/")}
     leaves = [jax.numpy.asarray(batchless[k]) for k in flat]
     treedef = jax.tree_util.tree_structure(template)
     # tree_flatten_with_path and tree_structure enumerate leaves in the

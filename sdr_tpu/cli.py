@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode stereo (default mono)")
     p.add_argument("--rds", action="store_true",
                    help="decode RDS frames (modes 0/2 only)")
+    p.add_argument("--rds-algo", default="robust",
+                   choices=["robust", "reference"],
+                   help="RDS symbol-clock recovery: restart-free "
+                        "phase/parity estimation (robust, default) or the "
+                        "reference-faithful CDR (reference)")
     p.add_argument("-o", "--output", default="-",
                    help="PCM output path, '-' for stdout")
     p.add_argument("--wav", action="store_true",
@@ -168,11 +173,24 @@ def main(argv=None) -> int:
         receiver._fn = rx.make_block_fn(receiver.mc, receiver.stereo,
                                         receiver.with_rds,
                                         pallas_frontend=True)
+    # streaming host-side RDS decode with carried state: CDR carry + bit
+    # backlog + pending frames, O(block) host memory however long the run
+    # (the reference's per-block decode loop, model/fmRDS.py:256-278)
+    rds_dec = (rds_decode.StreamingRdsDecoder(mc.rds.sps, args.rds_algo)
+               if with_rds else None)
+    first_offsets: list[str] = []
+
     block_count = 0
     if args.resume:
         from sdr_tpu import checkpoint
         receiver.state, meta = checkpoint.load(args.resume)
         block_count = meta.get("block_count", 0)
+        if with_rds and "rds" in meta.get("extra", {}):
+            rds_dec = rds_decode.StreamingRdsDecoder.load_state_dict(
+                {k[len("rds/"):]: v
+                 for k, v in meta["host_arrays"].items()
+                 if k.startswith("rds/")},
+                meta["extra"]["rds"])
         print(f"resumed from {args.resume} at block {block_count}",
               file=sys.stderr)
 
@@ -193,7 +211,6 @@ def main(argv=None) -> int:
     except Exception:
         source = sio.iter_iq_blocks(in_stream, bs)
 
-    symbol_blocks = []
     n_blocks = 0
     t0 = time.time()
     try:
@@ -209,7 +226,9 @@ def main(argv=None) -> int:
             else:
                 sio.write_pcm(out_stream, audio)
             if with_rds:
-                symbol_blocks.append(np.asarray(out.rds_symbols))
+                for _, off in rds_dec.feed(np.asarray(out.rds_symbols)):
+                    if len(first_offsets) < 12:
+                        first_offsets.append(off)
             n_blocks += 1
     finally:
         if in_stream is not sys.stdin.buffer:
@@ -218,8 +237,14 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     if args.save_state:
         from sdr_tpu import checkpoint
+        extra, host_arrays = {}, {}
+        if rds_dec is not None:
+            arrays, rmeta = rds_dec.state_dict()
+            extra["rds"] = rmeta
+            host_arrays = {f"rds/{k}": v for k, v in arrays.items()}
         written = checkpoint.save(args.save_state, receiver.state, args.mode,
-                                  block_count=block_count + n_blocks)
+                                  block_count=block_count + n_blocks,
+                                  extra=extra, host_arrays=host_arrays)
         print(f"state saved to {written} "
               f"(block {block_count + n_blocks})", file=sys.stderr)
     if args.wav:
@@ -229,16 +254,12 @@ def main(argv=None) -> int:
     elif out_stream is not sys.stdout.buffer:
         out_stream.close()
 
-    if with_rds and symbol_blocks:
-        dec = rds_decode.decode_robust(np.concatenate(symbol_blocks),
-                                       mc.rds.sps)
-        print(f"RDS: {len(dec.frames.matches)} frames "
-              f"({', '.join(off for _, off in dec.frames.matches[:12])}"
-              f"{'...' if len(dec.frames.matches) > 12 else ''})",
+    if with_rds and n_blocks:
+        print(f"RDS: {rds_dec.n_matches} frames "
+              f"({', '.join(first_offsets)}"
+              f"{'...' if rds_dec.n_matches > 12 else ''})",
               file=sys.stderr)
-        for w in dec.info_words[:8]:
-            print("RDS info:", "".join(map(str, w)), file=sys.stderr)
-        st = rds_groups.decode_station_from(dec)
+        st = rds_dec.station_info()
         if st.n_groups:
             pi = f"{st.pi:04X}" if st.pi is not None else "----"
             print(f"RDS station: PI={pi} PTY={st.pty} TP={st.tp} "

@@ -21,6 +21,7 @@ import dataclasses
 import numpy as np
 
 from sdr_tpu.golden import rds as grds
+from sdr_tpu.models import rds_groups
 
 
 @dataclasses.dataclass
@@ -53,6 +54,192 @@ def decode_robust(symbols: np.ndarray, sps: int,
     bits = grds.diff_decode(manch)
     frames = grds.frame_sync(bits)
     return RdsDecodeResult(bits, frames, _info_words(bits, frames))
+
+
+class StreamingRdsDecoder:
+    """Per-block host-side RDS decode with carried state (the production
+    streaming path; ref block loop model/fmRDS.py:256-278).
+
+    Feed each block's RRC soft symbols with ``feed``; host memory stays
+    O(block): only the undecoded bit backlog (< 26 bits past the last
+    matched frame plus one block's worth), at most 3 pending frame matches
+    awaiting group assembly, and the O(1) ``StationDecoder`` accumulator
+    are carried — never the whole symbol/bit stream.
+
+    Two symbol-clock recoveries (module docstring):
+
+    * ``algo="reference"`` — golden.rds.cdr with carried CdrState, per-block
+      differential decode exactly like ``decode_reference`` (and the
+      upstream model): the emitted frame stream is identical to running
+      ``decode_reference`` over the stacked blocks.
+    * ``algo="robust"`` (default) — the restart-free phase/parity CDR:
+      phase and Manchester parity are estimated once on the first block
+      (hysteresis-free; use golden.rds.cdr_tracking offline for drifting
+      clocks), then sampling, pairing, and differential decode continue
+      seamlessly across block boundaries, bit-identical to
+      ``decode_robust`` on the concatenated stream given the same
+      phase/parity estimate.
+
+    The full carry round-trips through ``state_dict``/``load_state_dict``
+    (arrays + JSON-able meta), which ``sdr_tpu.checkpoint`` persists so a
+    mid-stream resume reproduces the uninterrupted frame stream exactly
+    (SURVEY.md §5 checkpoint/resume contract).
+    """
+
+    def __init__(self, sps: int, algo: str = "robust"):
+        assert algo in ("robust", "reference"), algo
+        self.sps = int(sps)
+        self.algo = algo
+        self.block_count = 0
+        # frame-sync carry
+        self.backlog = np.zeros(0, dtype=np.int64)
+        self.backlog_pos = 0            # absolute bit index of backlog[0]
+        self.n_matches = 0
+        self.last_offset = ""
+        # reference-CDR carry
+        self.cdr_state = grds.CdrState()
+        # robust-CDR carry
+        self.phase = -1                 # -1: not yet estimated
+        self.parity = -1
+        self.next_idx = 0               # next sampling point, relative
+        self.sym_carry: float | None = None   # unpaired sampled symbol
+        self.prev_manch: int | None = None    # diff-decode carry
+        # group-assembly carry: (abs_pos, offset, 16 info bits)
+        self.pending: list[tuple[int, str, np.ndarray]] = []
+        self.station = rds_groups.StationDecoder()
+        self.groups: list[rds_groups.Group] = []
+
+    # --- symbol-clock recovery --------------------------------------------
+    def _manchester_bits(self, x: np.ndarray) -> np.ndarray:
+        if self.algo == "reference":
+            manch, self.cdr_state = grds.cdr(x, self.sps, self.cdr_state,
+                                             self.block_count)
+            return manch
+        if self.phase < 0:
+            _, self.phase, self.parity = grds.cdr_robust(x, self.sps)
+            self.next_idx = self.phase
+            first = True
+        else:
+            first = False
+        samples = x[self.next_idx::self.sps]
+        self.next_idx = (self.next_idx + len(samples) * self.sps) - len(x)
+        if first:
+            samples = samples[self.parity:]
+        if self.sym_carry is not None:
+            samples = np.concatenate([[self.sym_carry], samples])
+        n2 = len(samples) // 2
+        a, b = samples[0:2 * n2:2], samples[1:2 * n2:2]
+        manch = ((a > 0) & (b < 0)).astype(np.int64)
+        self.sym_carry = float(samples[-1]) if len(samples) % 2 else None
+        return manch
+
+    def feed(self, symbols: np.ndarray) -> list[tuple[int, str]]:
+        """Consume one block of soft symbols; returns the NEW frame matches
+        as (absolute bit position, offset type)."""
+        x = np.asarray(symbols, dtype=np.float64).reshape(-1)
+        manch = self._manchester_bits(x)
+        if self.algo == "reference":
+            # per-block differential decode, no carry — the convention of
+            # the upstream block loop (model/fmRDS.py:274) and
+            # decode_reference, kept so the two emit IDENTICAL frames
+            bits = grds.diff_decode(manch)
+        else:
+            bits = grds.diff_decode(manch, prev_bit=self.prev_manch)
+            if len(manch):
+                self.prev_manch = int(manch[-1])
+        self.block_count += 1
+
+        stream = np.concatenate([self.backlog, bits])
+        frames = grds.frame_sync(stream)
+        new: list[tuple[int, str]] = []
+        for pos, off in frames.matches:
+            abs_pos = self.backlog_pos + pos
+            new.append((abs_pos, off))
+            self.pending.append((abs_pos, off,
+                                 stream[pos:pos + 16].copy()))
+        self.n_matches += len(frames.matches)
+        if frames.matches:
+            self.last_offset = frames.matches[-1][1]
+        self.backlog = stream[frames.consumed:]
+        self.backlog_pos += frames.consumed
+        self._drain_groups()
+        return new
+
+    def _drain_groups(self) -> None:
+        """Same acquisition rule as rds_groups.assemble_groups, incremental:
+        emit a group when 4 consecutive matches form A,B,C|C',D at 26-bit
+        spacing; otherwise slide by one.  At most 3 matches stay pending."""
+        pend = self.pending
+        while len(pend) >= 4:
+            (p0, o0, w0), (p1, o1, w1), (p2, o2, w2), (p3, o3, w3) = pend[:4]
+            if (o0, o1, o3) == ("A", "B", "D") \
+                    and o2 in rds_groups._THIRD_BLOCK \
+                    and (p1 - p0, p2 - p0, p3 - p0) == (26, 52, 78):
+                words = np.stack([w0, w1, w2, w3])
+                g = rds_groups.Group(
+                    bit_pos=p0,
+                    gtype=rds_groups.bits_to_int(words[1]) >> 12,
+                    version=rds_groups._THIRD_BLOCK[o2], words=words)
+                self.groups.append(g)
+                self.station.update([g])
+                del pend[:4]
+            else:
+                del pend[0]
+
+    def station_info(self) -> "rds_groups.StationInfo":
+        return self.station.info()
+
+    # --- checkpoint/resume --------------------------------------------------
+    def state_dict(self) -> tuple[dict[str, np.ndarray], dict]:
+        """(arrays, json-able meta) capturing the complete carry."""
+        arrays = {
+            "backlog": self.backlog.astype(np.int64),
+            "pending_words": (np.stack([w for _, _, w in self.pending])
+                              if self.pending
+                              else np.zeros((0, 16), np.int64)),
+        }
+        meta = {
+            "sps": self.sps, "algo": self.algo,
+            "block_count": self.block_count,
+            "backlog_pos": self.backlog_pos,
+            "n_matches": self.n_matches, "last_offset": self.last_offset,
+            "cdr": [self.cdr_state.pair_prev, self.cdr_state.start,
+                    self.cdr_state.prev_size],
+            "phase": self.phase, "parity": self.parity,
+            "next_idx": self.next_idx, "sym_carry": self.sym_carry,
+            "prev_manch": self.prev_manch,
+            "pending": [[p, o] for p, o, _ in self.pending],
+            "station": self.station.state_json(),
+            "n_groups_assembled": len(self.groups),
+        }
+        return arrays, meta
+
+    @classmethod
+    def load_state_dict(cls, arrays: dict[str, np.ndarray],
+                        meta: dict) -> "StreamingRdsDecoder":
+        d = cls(meta["sps"], meta["algo"])
+        d.block_count = meta["block_count"]
+        d.backlog = np.asarray(arrays["backlog"], dtype=np.int64)
+        d.backlog_pos = meta["backlog_pos"]
+        d.n_matches = meta["n_matches"]
+        d.last_offset = meta["last_offset"]
+        d.cdr_state = grds.CdrState(pair_prev=float(meta["cdr"][0]),
+                                    start=int(meta["cdr"][1]),
+                                    prev_size=int(meta["cdr"][2]))
+        d.phase = meta["phase"]
+        d.parity = meta["parity"]
+        d.next_idx = meta["next_idx"]
+        d.sym_carry = meta["sym_carry"]
+        d.prev_manch = meta["prev_manch"]
+        words = np.asarray(arrays["pending_words"], dtype=np.int64)
+        d.pending = [(int(p), str(o), words[i])
+                     for i, (p, o) in enumerate(meta["pending"])]
+        d.station = rds_groups.StationDecoder.from_state_json(
+            meta["station"])
+        # assembled Group objects before the checkpoint are summary data,
+        # not carry — the station accumulator already folded them in
+        d.groups = []
+        return d
 
 
 def decode_reference(symbols_blocks: np.ndarray, sps: int) -> RdsDecodeResult:

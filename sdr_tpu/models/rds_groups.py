@@ -103,81 +103,134 @@ def assemble_groups(frames: grds.FrameSyncResult,
     return groups
 
 
-def decode_station(groups: list[Group]) -> StationInfo:
-    """Decode programme information from assembled groups.
+class StationDecoder:
+    """Incremental programme-information decoder over assembled groups.
 
     PI/PTY/TP are majority-voted across groups (a single corrupted block
     that still passed the syndrome check cannot flip them); PS name and
     RadioText segments are filled in as their groups arrive, newest write
     wins (the broadcast semantics — text changes simply overwrite).
-    """
-    pi_votes: Counter = Counter()
-    pty_votes: Counter = Counter()
-    tp_votes: Counter = Counter()
-    ps = [" "] * 8
-    ps_seen = np.zeros(4, dtype=bool)
-    rt = [" "] * 64
-    rt_seen = np.zeros(16, dtype=bool)
-    rt_char_seen = np.zeros(64, dtype=bool)
-    rt_ab: int | None = None
-    counts: Counter = Counter()
 
-    for g in groups:
-        counts[f"{g.gtype}{g.version}"] += 1
+    Feed groups with ``update``; ``info()`` snapshots the current
+    StationInfo.  State is O(1) regardless of stream length, and
+    ``state_json``/``from_state_json`` round-trip it for checkpoint/resume
+    (SURVEY.md §5) — the streaming CLI carries one of these per run.
+    """
+
+    def __init__(self) -> None:
+        self.pi_votes: Counter = Counter()
+        self.pty_votes: Counter = Counter()
+        self.tp_votes: Counter = Counter()
+        self.ps = [" "] * 8
+        self.ps_seen = np.zeros(4, dtype=bool)
+        self.rt = [" "] * 64
+        self.rt_seen = np.zeros(16, dtype=bool)
+        self.rt_char_seen = np.zeros(64, dtype=bool)
+        self.rt_ab: int | None = None
+        self.counts: Counter = Counter()
+        self.n_groups = 0
+
+    def update(self, groups: list[Group]) -> "StationDecoder":
+        for g in groups:
+            self._one(g)
+        return self
+
+    def _one(self, g: Group) -> None:
+        self.n_groups += 1
+        self.counts[f"{g.gtype}{g.version}"] += 1
         b = bits_to_int(g.words[1])
-        pi_votes[bits_to_int(g.words[0])] += 1
+        self.pi_votes[bits_to_int(g.words[0])] += 1
         if g.version == "B":
             # version B carries the PI code again in block C
-            pi_votes[bits_to_int(g.words[2])] += 1
-        tp_votes[bool((b >> 10) & 1)] += 1
-        pty_votes[(b >> 5) & 0x1F] += 1
+            self.pi_votes[bits_to_int(g.words[2])] += 1
+        self.tp_votes[bool((b >> 10) & 1)] += 1
+        self.pty_votes[(b >> 5) & 0x1F] += 1
 
         if g.gtype == 0:                         # 0A/0B: PS name
             addr = b & 0x3
             d = bits_to_int(g.words[3])
-            ps[2 * addr] = _char(d >> 8)
-            ps[2 * addr + 1] = _char(d & 0xFF)
-            ps_seen[addr] = True
+            self.ps[2 * addr] = _char(d >> 8)
+            self.ps[2 * addr + 1] = _char(d & 0xFF)
+            self.ps_seen[addr] = True
         elif g.gtype == 2:                       # 2A/2B: RadioText
             # Text A/B flag (block B bit 4, IEC 62106 §3.1.5.3): a flip
             # announces a NEW message — stale characters of the previous
             # one must not bleed into it
             ab = (b >> 4) & 1
-            if rt_ab is not None and ab != rt_ab:
-                rt = [" "] * 64
-                rt_seen[:] = False
-                rt_char_seen[:] = False
-            rt_ab = ab
+            if self.rt_ab is not None and ab != self.rt_ab:
+                self.rt = [" "] * 64
+                self.rt_seen[:] = False
+                self.rt_char_seen[:] = False
+            self.rt_ab = ab
             addr = b & 0xF
             if g.version == "A":
                 c = bits_to_int(g.words[2])
                 d = bits_to_int(g.words[3])
                 chars = [c >> 8, c & 0xFF, d >> 8, d & 0xFF]
-                rt[4 * addr: 4 * addr + 4] = [_char(x) for x in chars]
-                rt_char_seen[4 * addr: 4 * addr + 4] = True
+                self.rt[4 * addr: 4 * addr + 4] = [_char(x) for x in chars]
+                self.rt_char_seen[4 * addr: 4 * addr + 4] = True
             else:
                 d = bits_to_int(g.words[3])
-                rt[2 * addr: 2 * addr + 2] = [_char(d >> 8),
-                                              _char(d & 0xFF)]
-                rt_char_seen[2 * addr: 2 * addr + 2] = True
-            rt_seen[addr] = True
+                self.rt[2 * addr: 2 * addr + 2] = [_char(d >> 8),
+                                                   _char(d & 0xFF)]
+                self.rt_char_seen[2 * addr: 2 * addr + 2] = True
+            self.rt_seen[addr] = True
 
-    text = "".join(rt)
-    if "\r" in text:                             # 0x0D terminates RadioText
-        text = text[: text.index("\r")]
-    else:
-        # no terminator received: drop only trailing chars of UNRECEIVED
-        # segments (rendered as filler spaces); received trailing spaces
-        # are part of the message and stay
-        last = int(np.max(np.nonzero(rt_char_seen)[0])) + 1 \
-            if rt_char_seen.any() else 0
-        text = text[:last]
-    mode = lambda c: c.most_common(1)[0][0] if c else None
-    return StationInfo(pi=mode(pi_votes), pty=mode(pty_votes),
-                       tp=mode(tp_votes), ps_name="".join(ps),
-                       radiotext=text, ps_seen=ps_seen,
-                       rt_seen=rt_seen, n_groups=len(groups),
-                       group_counts=dict(counts))
+    def info(self) -> StationInfo:
+        text = "".join(self.rt)
+        if "\r" in text:                         # 0x0D terminates RadioText
+            text = text[: text.index("\r")]
+        else:
+            # no terminator received: drop only trailing chars of UNRECEIVED
+            # segments (rendered as filler spaces); received trailing spaces
+            # are part of the message and stay
+            last = int(np.max(np.nonzero(self.rt_char_seen)[0])) + 1 \
+                if self.rt_char_seen.any() else 0
+            text = text[:last]
+        mode = lambda c: c.most_common(1)[0][0] if c else None
+        return StationInfo(pi=mode(self.pi_votes), pty=mode(self.pty_votes),
+                           tp=mode(self.tp_votes), ps_name="".join(self.ps),
+                           radiotext=text, ps_seen=self.ps_seen.copy(),
+                           rt_seen=self.rt_seen.copy(),
+                           n_groups=self.n_groups,
+                           group_counts=dict(self.counts))
+
+    def state_json(self) -> dict:
+        """JSON-serializable snapshot of the full decoder state."""
+        return {
+            "pi_votes": list(self.pi_votes.items()),
+            "pty_votes": list(self.pty_votes.items()),
+            "tp_votes": [[int(k), v] for k, v in self.tp_votes.items()],
+            "ps": "".join(self.ps),
+            "ps_seen": self.ps_seen.astype(int).tolist(),
+            "rt": "".join(self.rt),
+            "rt_seen": self.rt_seen.astype(int).tolist(),
+            "rt_char_seen": self.rt_char_seen.astype(int).tolist(),
+            "rt_ab": self.rt_ab,
+            "counts": list(self.counts.items()),
+            "n_groups": self.n_groups,
+        }
+
+    @classmethod
+    def from_state_json(cls, st: dict) -> "StationDecoder":
+        d = cls()
+        d.pi_votes = Counter(dict((int(k), v) for k, v in st["pi_votes"]))
+        d.pty_votes = Counter(dict((int(k), v) for k, v in st["pty_votes"]))
+        d.tp_votes = Counter(dict((bool(k), v) for k, v in st["tp_votes"]))
+        d.ps = list(st["ps"])
+        d.ps_seen = np.asarray(st["ps_seen"], dtype=bool)
+        d.rt = list(st["rt"])
+        d.rt_seen = np.asarray(st["rt_seen"], dtype=bool)
+        d.rt_char_seen = np.asarray(st["rt_char_seen"], dtype=bool)
+        d.rt_ab = st["rt_ab"]
+        d.counts = Counter(dict(st["counts"]))
+        d.n_groups = st["n_groups"]
+        return d
+
+
+def decode_station(groups: list[Group]) -> StationInfo:
+    """Decode programme information from a whole list of groups at once."""
+    return StationDecoder().update(groups).info()
 
 
 def decode_station_from(dec) -> StationInfo:

@@ -46,6 +46,11 @@ def ensure_reachable_backend(timeout_s: float = 120.0) -> bool:
     """
     if os.environ.get("SDR_TPU_NO_PROBE"):
         return True
+    import jax
+    if str(jax.config.jax_platforms or "").split(",")[0] == "cpu":
+        # the process is already pinned to CPU (tests, explicit fallback):
+        # probing the accelerator would only burn the probe timeout
+        return False
     if accelerator_healthy(timeout_s):
         return True
     import jax

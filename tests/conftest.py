@@ -17,6 +17,11 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# CLI/bench entry points probe the (flaky, tunneled) accelerator in a
+# subprocess before falling back; tests are pinned to CPU, so the probe is
+# pure timeout exposure — skip it outright.
+os.environ["SDR_TPU_NO_PROBE"] = "1"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
