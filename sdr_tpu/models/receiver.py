@@ -458,3 +458,29 @@ class Receiver:
             jnp.asarray(blocks), self.coeffs, self.state, self.mc,
             self.stereo, self.with_rds)
         return outs
+
+    def iter_run(self, iq: np.ndarray, block_size: Optional[int] = None,
+                 chunk_blocks: int = 64):
+        """Stream a long recording in chunks of ``chunk_blocks`` blocks.
+
+        Device AND host memory stay O(chunk) however long the capture
+        (BASELINE.json's pod-scale config is a 1-hour recording — ``run``'s
+        stacked output would not fit).  State carries across chunk
+        dispatches, so the concatenated outputs are bit-identical to one
+        ``run`` over the whole recording.  Yields each chunk's stacked
+        ``BlockOutputs`` as host numpy arrays (the transfer is what bounds
+        device residency)."""
+        if block_size is None:
+            block_size = self.mc.default_block_size(self.with_rds)
+        n_blocks = iq.shape[-1] // block_size
+        iq = self._as_input(iq[..., : n_blocks * block_size])
+        for k0 in range(0, n_blocks, chunk_blocks):
+            k1 = min(k0 + chunk_blocks, n_blocks)
+            chunk = iq[..., k0 * block_size: k1 * block_size]
+            blocks = np.moveaxis(
+                np.asarray(chunk).reshape(
+                    iq.shape[:-1] + (k1 - k0, block_size)), -2, 0)
+            outs, self.state = run_blocks_scan(
+                jnp.asarray(blocks), self.coeffs, self.state, self.mc,
+                self.stereo, self.with_rds)
+            yield jax.tree.map(np.asarray, outs)

@@ -164,3 +164,140 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     empty = jnp.zeros((0,), jnp.float32)
     return rx.BlockOutputs(**{f: res.get(f, empty)
                               for f in rx.BlockOutputs._fields})
+
+
+def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
+                                 mode: int | cfg.Mode = 0,
+                                 stereo: bool = True,
+                                 with_rds: bool = False,
+                                 overlap_if: Optional[int] = None,
+                                 axis: str = "time",
+                                 batch_axis: Optional[str] = None,
+                                 block_if: Optional[int] = None,
+                                 chunk_blocks: int = 32):
+    """Chunk-streaming variant of :func:`time_sharded_receive`.
+
+    Generator yielding per-chunk output dicts (arm name -> host numpy of
+    shape ``(S, [C,] chunk*out_per_block)``); device memory is O(S x chunk)
+    for in/outputs however long the recording — the full-capture answer to
+    BASELINE.json's 1-hour pod-scale config, where the single-shot path
+    would materialize the whole stacked output.  Assemble with
+    :func:`assemble_time_chunks` — bit-identical to the single-shot result.
+
+    Same split semantics as the single-shot path: the per-shard warm-up
+    halo is the left segment's tail (host-sliced here instead of
+    ``ppermute``-exchanged — identical values, and the overlap rounds to
+    whole blocks so the halo IS the warm-up block set), shard 0 resets to
+    the fresh state after its zero-halo warm-up, and the same auto kernel
+    selection as contiguous runs.
+    """
+    mc = cfg.get_mode_config(mode)
+    with_rds = with_rds and mc.rds is not None
+    s = mesh.shape[axis]
+
+    mult = mc.if_block_multiple(with_rds)
+    if block_if is None:
+        block_if = default_block_if(mc, with_rds)
+    assert block_if % mult == 0, (block_if, mult)
+    if overlap_if is None:
+        overlap_if = 6000
+    n_skip_blocks = -(-overlap_if // block_if)
+
+    raw_per_if = 2 * mc.rf_decim
+    block_raw = block_if * raw_per_if
+    halo_raw = n_skip_blocks * block_raw
+    n = iq.shape[-1]
+    seg = n // s
+    assert seg * s == n, "recording must split evenly across shards"
+    assert seg % block_raw == 0, (seg, block_raw)
+    assert halo_raw <= seg, "overlap larger than a segment"
+    blocks_per_seg = seg // block_raw
+
+    coeffs = rx.design_coeffs(mc)
+    use_pallas = rx._auto_pallas()
+    arms = ["fm_demod", "mono"]
+    if stereo:
+        arms += ["left", "right"]
+    if with_rds:
+        arms += ["rds_symbols"]
+
+    iq = np.asarray(iq, dtype=np.float32)
+    batched = batch_axis is not None
+    # host-side (S, [C,] seg) views: shard s <- contiguous segment s
+    segs = np.moveaxis(iq.reshape(iq.shape[:-1] + (s, seg)), -2, 0)
+
+    # shard dim FIRST everywhere (arrays and state): spec by position
+    in_spec = P(axis, batch_axis) if batched else P(axis)
+    state_spec = jax.tree.map(lambda _: in_spec, rx.init_state(mc))
+    sharding = NamedSharding(mesh, in_spec)
+
+    def _scan_blocks(st, blocks):
+        def step(c, blk):
+            out, c = rx.process_block(blk, coeffs, c, mc, stereo=stereo,
+                                      with_rds=with_rds,
+                                      pallas_frontend=use_pallas,
+                                      pallas_pll=use_pallas)
+            return c, {a: out._asdict()[a] for a in arms}
+        return lax.scan(step, st, blocks)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_spec,
+                       out_specs=state_spec, check_vma=False)
+    def warmup(halo_local):
+        x = halo_local[0]                     # ([C_local,] halo_raw)
+        lead = x.shape[:-1]
+        blocks = jnp.moveaxis(
+            x.reshape(lead + (n_skip_blocks, block_raw)), -2, 0)
+        init = rx.init_state(mc, batch_shape=lead)
+        warm, _ = _scan_blocks(init, blocks)
+        # shard 0's halo is zeros — reset to the exact fresh state a
+        # contiguous run starts from (same rule as the single-shot path)
+        is_first = lax.axis_index(axis) == 0
+        st = jax.tree.map(lambda i0, w: jnp.where(is_first, i0, w),
+                          init, warm)
+        return jax.tree.map(lambda v: v[None], st)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(state_spec, in_spec),
+                       out_specs=(state_spec, {a: in_spec for a in arms}),
+                       check_vma=False)
+    def chunk_step(st_local, iq_local):
+        st = jax.tree.map(lambda v: v[0], st_local)
+        x = iq_local[0]                       # ([C_local,] cb*block_raw)
+        lead = x.shape[:-1]
+        cb = x.shape[-1] // block_raw
+        blocks = jnp.moveaxis(x.reshape(lead + (cb, block_raw)), -2, 0)
+        st, outs = _scan_blocks(st, blocks)
+        kept = {a: jnp.moveaxis(outs[a], 0, -2).reshape(lead + (-1,))[None]
+                for a in arms}                # (1, [C_local,] cb*per)
+        return jax.tree.map(lambda v: v[None], st), kept
+
+    # halo per shard: the left segment's trailing halo_raw samples (zeros
+    # for shard 0) — the exact values the single-shot ppermute delivers;
+    # the overlap rounds to whole blocks, so the halo IS the warm-up input
+    halo = np.concatenate(
+        [np.zeros_like(segs[:1, ..., -halo_raw:]),
+         segs[:-1, ..., -halo_raw:]], axis=0)
+
+    def _put(a):
+        return jax.device_put(jnp.asarray(a), sharding)
+
+    state = warmup(_put(halo))
+    for k0 in range(0, blocks_per_seg, chunk_blocks):
+        k1 = min(k0 + chunk_blocks, blocks_per_seg)
+        chunk = segs[..., k0 * block_raw: k1 * block_raw]
+        state, outs = chunk_step(state, _put(np.ascontiguousarray(chunk)))
+        yield {a: np.asarray(v) for a, v in outs.items()}
+
+
+def assemble_time_chunks(chunks: list[dict]) -> dict:
+    """Reassemble ``time_sharded_receive_chunked`` outputs into the
+    single-shot layout: arm -> ``([C,] S*total_per)`` with shard-major
+    time, exactly like :func:`time_sharded_receive`."""
+    out = {}
+    for a in chunks[0]:
+        cat = np.concatenate([c[a] for c in chunks], axis=-1)  # (S,[C],T)
+        flat = np.moveaxis(cat, 0, -2)                         # ([C],S,T)
+        out[a] = flat.reshape(flat.shape[:-2] + (-1,))
+    return out
