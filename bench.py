@@ -5,21 +5,24 @@ Prints ONE JSON line:
 
 Metric definition: the BEST sustained raw-IQ throughput (Msamples/s of IQ
 pairs) through the complete mode-0 receiver DAG — RF front-end, mono,
-stereo (pilot PLL), RDS to soft symbols — across the two operating
-regimes: single-stream (the reference's mode) and a channel-parallel
-batch of independent stations (this framework's data-parallel serving
-axis, SURVEY.md §2.3; per-row outputs bit-identical to single-channel
-runs, tests/test_models_receiver.py::TestChannelBatch).  Both regime
-figures are printed on stderr; the JSON reports the max.
+stereo (pilot PLL), RDS to soft symbols — across the operating regimes:
+single-stream (the reference's mode) and a channel-parallel batch of
+independent stations SWEPT over batch sizes to the throughput knee
+(this framework's data-parallel serving axis, SURVEY.md §2.3; per-row
+outputs bit-identical to single-channel runs,
+tests/test_models_receiver.py::TestChannelBatch).  All regime figures go
+to stderr and BENCH_DETAIL.json; the stdout JSON reports the max.
+
+Also measured (BENCH_DETAIL.json): single-stream per-block latency, and
+per-mode single-stream throughput for ALL four operating modes — the
+rational-resampler modes 1-3 are the reference's worst case (BASELINE.md
+Table 3: the mode-3 resampler alone cost 429 ms per block on the Pi).
 
 Baseline: the reference runs ONE station in real time at its input rate,
 2.4 MS/s, on a Raspberry Pi 4 (BASELINE.md: mode-0 budget 21.33 ms per
 51,200-pair block, src/project.cpp:55) — mono+stereo only; RDS never ran
 real-time at all ("RDS modeled in Python only",
 doc/3dy4_project_disclosure.pdf).  vs_baseline = throughput / 2.4 MS/s.
-
-Single-stream latency/throughput is reported on stderr alongside device
-and compile details.
 """
 
 import json
@@ -29,9 +32,9 @@ import time
 
 import numpy as np
 
-N_CHANNELS = int(os.environ.get("SDR_BENCH_CHANNELS", "128"))
 N_TIMED = int(os.environ.get("SDR_BENCH_BLOCKS", "60"))
 N_TIMED_SINGLE = int(os.environ.get("SDR_BENCH_BLOCKS_SINGLE", "150"))
+BASELINE_MSPS = 2.4  # reference real-time input rate on RPi 4
 
 
 def _stream(fn, coeffs, state, blocks, n_timed):
@@ -48,8 +51,20 @@ def _stream(fn, coeffs, state, blocks, n_timed):
         last, st = fn(blocks[b % len(blocks)], coeffs, st)
     jax.block_until_ready(last)
     dt = time.time() - t0
-    assert np.isfinite(np.asarray(last.left)).all()
+    probe = last.left if last.left.size else last.mono
+    assert np.isfinite(np.asarray(probe)).all()
     return dt
+
+
+def _best_of(fn_, coeffs_, state_fn, blocks_, n_timed, repeats=3):
+    # The tunneled dev chip's dispatch latency is bimodal session-to-
+    # session (see memory notes): take the best of a few short repeats per
+    # regime, which measures the hardware rather than the tunnel's moods.
+    best = float("inf")
+    for _ in range(repeats):
+        best = min(best, _stream(fn_, coeffs_, state_fn(), blocks_,
+                                 n_timed))
+    return best
 
 
 def main() -> None:
@@ -78,60 +93,112 @@ def main() -> None:
     from sdr_tpu.models import receiver as rx
     from sdr_tpu.utils import synth
 
+    on_accel = jax.devices()[0].platform != "cpu"
+    # serving-regime channel sweep: find the MS/s-vs-C knee (VERDICT r1 #1)
+    sweep = os.environ.get(
+        "SDR_BENCH_SWEEP", "32,128,256,512,1024" if on_accel else "8,16")
+    channel_sweep = [int(c) for c in sweep.split(",") if c]
+    modes = [0, 1, 2, 3] if on_accel else [0]
+    detail = {"device": jax.devices()[0].device_kind,
+              "platform": jax.devices()[0].platform,
+              "baseline_msps": BASELINE_MSPS,
+              "aggregate_sweep": [], "modes": {}}
+    t_wall = time.time()
+
     mc = cfg.get_mode_config(0)
     bs = mc.default_block_size(with_rds=True)
-
-    # realistic input: synthesized FM station, cycled over blocks, fed as
-    # RAW u8 (normalized on-device — 4x less HBM input traffic)
     res = synth.synthesize_fm(duration_s=0.25, mode=0, with_stereo=True,
                               with_rds=True, seed=0)
     iq = res.iq_u8
     n_src = len(iq) // bs
-    blocks1 = [jnp.asarray(iq[b * bs:(b + 1) * bs])
-               for b in range(n_src)]
-
+    # realistic input: synthesized FM station, cycled over blocks, fed as
+    # RAW u8 (normalized on-device — 4x less HBM input traffic)
+    blocks1 = [jnp.asarray(iq[b * bs:(b + 1) * bs]) for b in range(n_src)]
     coeffs = rx.design_coeffs(mc)
     fn = rx.make_block_fn(mc, stereo=True, with_rds=True)
 
-    # The tunneled dev chip's dispatch latency is bimodal session-to-session
-    # (see memory notes): take the best of a few short repeats per regime,
-    # which measures the hardware rather than the tunnel's bad moods.
-    def best_of(fn_, coeffs_, state_fn, blocks_, n_timed, repeats=3):
-        best = float("inf")
-        for _ in range(repeats):
-            best = min(best, _stream(fn_, coeffs_, state_fn(), blocks_,
-                                     n_timed))
-        return best
-
     # --- single-stream (the reference's operating regime) -----------------
-    t0 = time.time()
-    dt1 = best_of(fn, coeffs, lambda: rx.init_state(mc), blocks1,
-                  N_TIMED_SINGLE)
+    dt1 = _best_of(fn, coeffs, lambda: rx.init_state(mc), blocks1,
+                   N_TIMED_SINGLE)
     single_msps = N_TIMED_SINGLE * (bs / 2) / dt1 / 1e6
+    lat_ms = dt1 / N_TIMED_SINGLE * 1e3
+    detail["single_stream_msps"] = round(single_msps, 1)
+    detail["single_stream_latency_ms_per_block"] = round(lat_ms, 4)
+    detail["block_iq_pairs"] = bs // 2
 
-    # --- channel-parallel aggregate (the serving regime) ------------------
-    blocksC = [jnp.asarray(np.tile(np.asarray(b), (N_CHANNELS, 1)))
-               for b in blocks1[:4]]
-    dtC = best_of(fn, coeffs,
-                  lambda: rx.init_state(mc, batch_shape=(N_CHANNELS,)),
-                  blocksC, N_TIMED)
-    agg_msps = N_TIMED * N_CHANNELS * (bs / 2) / dtC / 1e6
-    total_s = time.time() - t0
+    # --- channel-parallel aggregate: sweep to the knee --------------------
+    agg_best, agg_best_c = 0.0, 0
+    for c in channel_sweep:
+        blocksC = [jnp.asarray(np.tile(np.asarray(b), (c, 1)))
+                   for b in blocks1[:4]]
+        n_t = max(8, min(N_TIMED, int(N_TIMED * 128 / c)))
+        try:
+            dtC = _best_of(fn, coeffs,
+                           lambda: rx.init_state(mc, batch_shape=(c,)),
+                           blocksC, n_t)
+        except Exception as e:  # OOM past the knee: record and stop
+            print(f"# C={c}: {type(e).__name__} (sweep stops)",
+                  file=sys.stderr)
+            break
+        msps = n_t * c * (bs / 2) / dtC / 1e6
+        detail["aggregate_sweep"].append(
+            {"channels": c, "msps": round(msps, 1),
+             "ms_per_block": round(dtC / n_t * 1e3, 3)})
+        print(f"# C={c:5d}: {msps:8.0f} MS/s "
+              f"({dtC / n_t * 1e3:7.3f} ms/blk)", file=sys.stderr)
+        if msps > agg_best:
+            agg_best, agg_best_c = msps, c
+        del blocksC
 
-    headline = max(agg_msps, single_msps)
-    baseline_msps = 2.4  # reference real-time input rate on RPi 4
+    # --- per-mode single-stream (modes 1-3: rational resamplers) ----------
+    for m in modes:
+        if m == 0:
+            detail["modes"]["0"] = {"single_msps": round(single_msps, 1),
+                                    "latency_ms": round(lat_ms, 4)}
+            continue
+        mcm = cfg.get_mode_config(m)
+        bsm = mcm.default_block_size(with_rds=(mcm.rds is not None))
+        resm = synth.synthesize_fm(duration_s=0.12, mode=m,
+                                   with_stereo=True,
+                                   with_rds=mcm.rds is not None, seed=0)
+        nb = max(2, len(resm.iq_u8) // bsm)
+        blk = [jnp.asarray(resm.iq_u8[b * bsm:(b + 1) * bsm])
+               for b in range(min(4, nb))]
+        cfm = rx.design_coeffs(mcm)
+        fnm = rx.make_block_fn(mcm, stereo=True,
+                               with_rds=mcm.rds is not None)
+        n_t = max(20, N_TIMED_SINGLE // 3)
+        dtm = _best_of(fnm, cfm, lambda: rx.init_state(mcm), blk, n_t,
+                       repeats=2)
+        detail["modes"][str(m)] = {
+            "single_msps": round(n_t * (bsm / 2) / dtm / 1e6, 1),
+            "latency_ms": round(dtm / n_t * 1e3, 4),
+            "block_iq_pairs": bsm // 2}
+        print(f"# mode {m}: {detail['modes'][str(m)]['single_msps']:6.1f} "
+              f"MS/s single-stream "
+              f"({detail['modes'][str(m)]['latency_ms']:.3f} ms/blk)",
+              file=sys.stderr)
+
+    total_s = time.time() - t_wall
+    headline = max(agg_best, single_msps)
+    detail["headline_msps"] = round(headline, 1)
+    detail["headline_channels"] = agg_best_c if agg_best > single_msps else 1
+    detail["bench_wall_s"] = round(total_s, 1)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
     print(json.dumps({
         "metric": "stereo_rds_sustained_iq_throughput",
         "value": round(headline, 1),
         "unit": "Msamples/s",
-        "vs_baseline": round(headline / baseline_msps, 1),
+        "vs_baseline": round(headline / BASELINE_MSPS, 1),
     }))
     print(f"# device={jax.devices()[0].device_kind} block={bs} | "
-          f"aggregate[{N_CHANNELS}ch] {agg_msps:.0f} MS/s "
-          f"({dtC / N_TIMED * 1e3:.3f}ms/blk, budget "
-          f"{bs / 2 / mc.rf_fs * 1e3:.1f}ms) | single-stream "
-          f"{single_msps:.0f} MS/s ({single_msps / baseline_msps:.0f}x "
-          f"baseline) | bench_wall={total_s:.0f}s", file=sys.stderr)
+          f"best aggregate {agg_best:.0f} MS/s at C={agg_best_c} | "
+          f"single-stream {single_msps:.0f} MS/s "
+          f"({lat_ms:.3f} ms/blk vs {bs / 2 / mc.rf_fs * 1e3:.1f} ms "
+          f"budget) | bench_wall={total_s:.0f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
