@@ -1,0 +1,61 @@
+"""Multi-process (DCN-regime) scale-out: REAL jax.distributed processes.
+
+Functional gate for SURVEY.md §2.3's communication-backend row: the
+channel-sharded receiver executes over a mesh spanning OS processes
+(jax.distributed + cross-process runtime — the same machinery a TPU pod
+uses over DCN), with the time-axis halo structurally confined to each
+process's local devices.  The timed ≥95%-efficiency measurement lives in
+scripts/multihost_scaling.py -> SCALING_r2.json (timing gates would flake
+in CI on this shared host; the efficiency artifact is produced offline).
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                       "multihost_scaling.py")
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("multihost_scaling",
+                                                  _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(autouse=True)
+def _tiny_workload(monkeypatch):
+    # keep the subprocess workers fast: constants are env-overridable and
+    # inherited by the spawned worker processes
+    monkeypatch.setenv("SDR_SCALING_CH", "2")
+    monkeypatch.setenv("SDR_SCALING_BLOCKS", "4")
+    monkeypatch.setenv("SDR_SCALING_REPS", "1")
+    monkeypatch.setenv("SDR_SCALING_ROUNDS", "2")
+
+
+class TestMultiProcessMesh:
+    def test_2proc_channel_mesh_runs(self):
+        """Two real jax.distributed processes run the channel-sharded
+        receiver over one global mesh; finite throughput from both."""
+        mod = _load()
+        r = mod._run_config(2, local_devices=1,
+                            ncores=os.cpu_count() or 1, timeout_s=420.0)
+        assert r["num_processes"] == 2
+        assert r["global_devices"] == 2
+        assert r["channels_global"] == 4
+        assert r["aggregate_samples_per_s"] > 0
+        assert r["halo_confined_to_host"]
+
+    def test_2proc_2dev_2d_mesh_halo_local(self):
+        """2 processes x 2 local devices: the (ch x time) grid keeps every
+        time row on ONE process, so halo ppermutes never cross DCN."""
+        mod = _load()
+        r = mod._run_config(2, local_devices=2,
+                            ncores=os.cpu_count() or 1, timeout_s=420.0)
+        assert r["global_devices"] == 4
+        assert r["halo_confined_to_host"]
+        assert r["aggregate_samples_per_s"] > 0
