@@ -176,12 +176,16 @@ class TestTimeSharded:
         first_shard = left_ref.shape[0] // 8
         np.testing.assert_allclose(left[:first_shard],
                                    left_ref[:first_shard], atol=1e-2)
-        # later shards: PLL re-lock keeps the stereo arm within small
-        # error of contiguous processing
+        # later shards: the PLL fully re-locks within ONE overlap block —
+        # measured kept-region error sits at the float32 roundoff floor
+        # (~1.5e-7 rel RMS) for every overlap >= 1 block and noise up to
+        # std 0.1 (scripts/overlap_convergence.py ->
+        # docs/overlap_convergence.json); gate at 1e-4: ~700x above the
+        # floor, 10x tighter than the 1e-3 output tolerance target
         skip = 8000
         err = np.sqrt(np.mean((left[skip:] - left_ref[skip:]) ** 2))
         ref_rms = np.sqrt(np.mean(left_ref[skip:] ** 2))
-        assert err < 0.05 * ref_rms, (err, ref_rms)
+        assert err < 1e-4 * ref_rms, (err, ref_rms)
 
     def test_2d_mesh_channel_by_time(self, recording):
         """dp x sp composition: 2 channels x 4 time shards on a 2D mesh."""
