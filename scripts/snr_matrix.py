@@ -48,7 +48,10 @@ def run_level(noise_std: float, duration_s: float = 1.2,
     mono = np.asarray(outs.mono).reshape(-1)
     sep_l, sep_r = metrics.stereo_separation_db(left, right, mc.audio_fs,
                                                 TONE_L, TONE_R)
-    snr_mono = metrics.tone_snr_db(mono[6000:], mc.audio_fs, TONE_L)
+    # mono = (L+R)/2 carries BOTH tones: exclude the R tone's band from
+    # the noise estimate or the metric saturates at ~0 dB at every level
+    snr_mono = metrics.tone_snr_db(mono[6000:], mc.audio_fs, TONE_L,
+                                   exclude=(TONE_R,))
 
     syms = np.asarray(outs.rds_symbols)
     row = {"noise_std": noise_std,

@@ -32,11 +32,17 @@ def stereo_separation_db(left: np.ndarray, right: np.ndarray, fs: float,
 
 
 def tone_snr_db(x: np.ndarray, fs: float, f: float,
-                bw: float = 60.0) -> float:
+                bw: float = 60.0,
+                exclude: tuple[float, ...] = ()) -> float:
     """Tone power over total out-of-band power via rfft binning.
 
     The band is widened to at least +-3 FFT bins so Hann spectral leakage
     of the tone itself never counts as noise on short windows.
+    ``exclude`` lists other intentional tone frequencies whose bands count
+    as neither signal nor noise — e.g. measuring the 800 Hz L tone's SNR
+    in a MONO mix that also carries the 1.5 kHz R tone (without the
+    exclusion the other tone dominates "noise" and the metric saturates
+    near 0 dB regardless of the actual noise floor).
     """
     x = np.asarray(x, dtype=np.float64)
     bw = max(bw, 3.0 * fs / len(x))
@@ -44,7 +50,10 @@ def tone_snr_db(x: np.ndarray, fs: float, f: float,
     freqs = np.fft.rfftfreq(len(x), 1 / fs)
     band = (freqs > f - bw) & (freqs < f + bw)
     sig = xf[band].sum()
-    noise = xf.sum() - sig
+    drop = np.zeros_like(band)
+    for fe in exclude:
+        drop |= (freqs > fe - bw) & (freqs < fe + bw)
+    noise = xf[~band & ~drop].sum()
     return 10 * np.log10(sig / max(noise, 1e-30))
 
 
