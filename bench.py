@@ -136,10 +136,16 @@ def main() -> None:
             dtC = _best_of(fn, coeffs,
                            lambda: rx.init_state(mc, batch_shape=(c,)),
                            blocksC, n_t)
-        except Exception as e:  # OOM past the knee: record and stop
-            print(f"# C={c}: {type(e).__name__} (sweep stops)",
-                  file=sys.stderr)
-            break
+        except Exception as e:
+            # only resource exhaustion marks the knee; anything else is a
+            # real bug and must fail the bench loudly (ADVICE r2)
+            msg = f"{type(e).__name__}: {e}"
+            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                    or "out of memory" in msg):
+                print(f"# C={c}: OOM, sweep stops ({msg[:120]})",
+                      file=sys.stderr)
+                break
+            raise
         msps = n_t * c * (bs / 2) / dtC / 1e6
         detail["aggregate_sweep"].append(
             {"channels": c, "msps": round(msps, 1),

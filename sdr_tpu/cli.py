@@ -63,21 +63,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _warn_algo_mismatch(rds_meta: dict, requested: str) -> None:
+    """A checkpoint pins its RDS algorithm (the carry layouts differ);
+    surface the conflict instead of silently ignoring --rds-algo
+    (ADVICE r2: cli.py resume override)."""
+    stored = rds_meta.get("algo")
+    if stored and stored != requested:
+        print(f"warning: --rds-algo {requested} ignored - checkpoint "
+              f"was created with '{stored}' and resume continues with it",
+              file=sys.stderr)
+
+
 def _main_wideband(args) -> int:
     """Wideband serving path: channelize + batched receive, one wav per
-    station (out path PREFIX_<k>.wav), RDS per station on stderr."""
-    from sdr_tpu.models import rds_decode, rds_groups
+    station (out path PREFIX_<k>.wav), RDS per station on stderr.
+
+    Fully streaming (VERDICT r2 #4): per-block incremental wav writes
+    (io.StreamingWavWriter seekable-header technique), per-station
+    StreamingRdsDecoder fed each block, and ``--save-state``/``--resume``
+    covering the channelizer carry + the batched receiver pytree + every
+    station's RDS carry — host memory stays O(block) however long the
+    capture, and a resumed run's frame stream is identical to the
+    uninterrupted one (tests/test_wideband_streaming.py).
+    """
+    import jax.numpy as jnp
+
+    from sdr_tpu.models import rds_decode
     from sdr_tpu.models import receiver as rx
-    from sdr_tpu.models.channelizer import Channelizer
+    from sdr_tpu.models.channelizer import Channelizer, ChannelizerState
 
     if not args.offsets or not args.wav or args.output == "-":
         print("--wideband needs --offsets HZ,HZ,... and --wav -o PREFIX",
               file=sys.stderr)
         return 2
-    for flag in ("save_state", "resume", "pallas"):
-        if getattr(args, flag):
-            print(f"--{flag.replace('_', '-')} is not supported with "
-                  "--wideband; ignoring", file=sys.stderr)
     offsets = [float(f) for f in args.offsets.split(",")]
     mc = cfg.get_mode_config(args.mode)
     with_rds = args.rds and mc.rds is not None
@@ -87,12 +105,40 @@ def _main_wideband(args) -> int:
     ch = Channelizer(offsets, float(args.wideband), args.mode)
     receiver = rx.Receiver(args.mode, stereo=args.stereo, with_rds=with_rds,
                            batch_shape=(len(offsets),))
+    if args.pallas:
+        receiver._fn = rx.make_block_fn(receiver.mc, receiver.stereo,
+                                        receiver.with_rds,
+                                        pallas_frontend=True)
     bs_wide = (args.block_size
                or mc.default_block_size(with_rds)) * ch.decim
 
+    rds_decs = ([rds_decode.StreamingRdsDecoder(mc.rds.sps, args.rds_algo)
+                 for _ in offsets] if with_rds else None)
+    block_count = 0
+    if args.resume:
+        from sdr_tpu import checkpoint
+        receiver.state, meta = checkpoint.load(args.resume)
+        block_count = meta.get("block_count", 0)
+        ha = meta["host_arrays"]
+        ch.state = ChannelizerState(fir=jnp.asarray(ha["chan/fir"]),
+                                    phi0=jnp.asarray(ha["chan/phi0"]))
+        if with_rds and "rds_per_station" in meta.get("extra", {}):
+            rds_decs = []
+            for k, rmeta in enumerate(meta["extra"]["rds_per_station"]):
+                _warn_algo_mismatch(rmeta, args.rds_algo)
+                rds_decs.append(rds_decode.StreamingRdsDecoder.
+                                load_state_dict(
+                                    {key[len(f"rds{k}/"):]: v
+                                     for key, v in ha.items()
+                                     if key.startswith(f"rds{k}/")}, rmeta))
+        print(f"resumed from {args.resume} at block {block_count}",
+              file=sys.stderr)
+
     in_stream = sio.stdin_binary() if args.input == "-" else open(
         args.input, "rb")
-    lefts, rights, monos, syms = [], [], [], []
+    writers = [sio.StreamingWavWriter(f"{args.output}_{k}.wav", mc.audio_fs,
+                                      channels=2 if args.stereo else 1)
+               for k in range(len(offsets))]
     n_blocks = 0
     t0 = time.time()
     try:
@@ -103,38 +149,55 @@ def _main_wideband(args) -> int:
             out = receiver.process(
                 ch.process(np.frombuffer(raw, dtype=np.uint8)))
             if args.stereo:
-                lefts.append(np.asarray(out.left))
-                rights.append(np.asarray(out.right))
+                audio = np.stack([np.asarray(out.left),
+                                  np.asarray(out.right)], axis=-1)
             else:
-                monos.append(np.asarray(out.mono))
+                audio = np.asarray(out.mono)[..., None]
+            for k, w in enumerate(writers):
+                w.write(audio[k] if args.stereo else audio[k, :, 0])
             if with_rds:
-                syms.append(np.asarray(out.rds_symbols))
+                sym = np.asarray(out.rds_symbols)
+                for k, dec in enumerate(rds_decs):
+                    dec.feed(sym[k])
             n_blocks += 1
     finally:
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
+        for w in writers:
+            w.close()
     dt = time.time() - t0
 
-    if n_blocks == 0:
+    if n_blocks == 0 and not args.resume:
         print(f"input shorter than one wideband block ({bs_wide} samples); "
               "nothing decoded", file=sys.stderr)
         return 1
-    left = np.concatenate(lefts, -1) if lefts else None
-    right = np.concatenate(rights, -1) if rights else None
-    mono = np.concatenate(monos, -1) if monos else None
-    sym = np.concatenate(syms, -1) if syms else None
+
+    if args.save_state:
+        from sdr_tpu import checkpoint
+        host_arrays = {"chan/fir": np.asarray(ch.state.fir),
+                       "chan/phi0": np.asarray(ch.state.phi0)}
+        extra = {"wideband": {"fs": ch.fs_wide, "offsets": list(offsets)}}
+        if with_rds:
+            extra["rds_per_station"] = []
+            for k, dec in enumerate(rds_decs):
+                arrays, rmeta = dec.state_dict()
+                extra["rds_per_station"].append(rmeta)
+                host_arrays.update({f"rds{k}/{key}": v
+                                    for key, v in arrays.items()})
+        written = checkpoint.save(args.save_state, receiver.state,
+                                  args.mode,
+                                  block_count=block_count + n_blocks,
+                                  extra=extra, host_arrays=host_arrays)
+        print(f"state saved to {written} "
+              f"(block {block_count + n_blocks})", file=sys.stderr)
+
     for k, f_off in enumerate(offsets):
-        path = f"{args.output}_{k}.wav"
-        if args.stereo:
-            audio = np.stack([left[k], right[k]], axis=-1)
-        else:
-            audio = mono[k]
-        sio.write_wav(path, audio, mc.audio_fs)
-        msg = f"station {k} @ {f_off / 1e6:+.2f} MHz -> {path}"
-        if sym is not None:
-            dec = rds_decode.decode_robust(sym[k], mc.rds.sps)
-            msg += f" | RDS {len(dec.frames.matches)} frames"
-            st = rds_groups.decode_station_from(dec)
+        msg = (f"station {k} @ {f_off / 1e6:+.2f} MHz -> "
+               f"{args.output}_{k}.wav")
+        if with_rds:
+            dec = rds_decs[k]
+            msg += f" | RDS {dec.n_matches} frames"
+            st = dec.station_info()
             if st.n_groups and st.pi is not None:
                 msg += f" PI={st.pi:04X} PS={st.ps_name!r}"
         print(msg, file=sys.stderr)
@@ -186,6 +249,7 @@ def main(argv=None) -> int:
         receiver.state, meta = checkpoint.load(args.resume)
         block_count = meta.get("block_count", 0)
         if with_rds and "rds" in meta.get("extra", {}):
+            _warn_algo_mismatch(meta["extra"]["rds"], args.rds_algo)
             rds_dec = rds_decode.StreamingRdsDecoder.load_state_dict(
                 {k[len("rds/"):]: v
                  for k, v in meta["host_arrays"].items()
@@ -193,6 +257,7 @@ def main(argv=None) -> int:
                 meta["extra"]["rds"])
         print(f"resumed from {args.resume} at block {block_count}",
               file=sys.stderr)
+    n_matches_at_start = rds_dec.n_matches if rds_dec is not None else 0
 
     in_stream = sio.stdin_binary() if args.input == "-" else open(
         args.input, "rb")
@@ -255,9 +320,14 @@ def main(argv=None) -> int:
         out_stream.close()
 
     if with_rds and n_blocks:
-        print(f"RDS: {rds_dec.n_matches} frames "
-              f"({', '.join(first_offsets)}"
-              f"{'...' if rds_dec.n_matches > 12 else ''})",
+        # after a resume n_matches is cumulative across the checkpoint but
+        # first_offsets only covers this run — label it so the summary is
+        # not misleading (ADVICE r2: cli.py resume summary)
+        label = "first this run" if args.resume else "first"
+        n_new = rds_dec.n_matches - n_matches_at_start
+        print(f"RDS: {rds_dec.n_matches} frames ({label}: "
+              f"{', '.join(first_offsets)}"
+              f"{'...' if n_new > len(first_offsets) else ''})",
               file=sys.stderr)
         st = rds_dec.station_info()
         if st.n_groups:

@@ -78,6 +78,56 @@ def write_wav(path: str, audio: np.ndarray, fs: float) -> None:
     wavfile.write(path, int(fs), pcm_quantize(audio))
 
 
+class StreamingWavWriter:
+    """Incremental 16-bit PCM .wav writer: O(block) host memory.
+
+    Writes the 44-byte RIFF header with placeholder sizes up front,
+    streams quantized frames per ``write`` call, and patches the RIFF and
+    data chunk sizes on ``close`` (the file stays a valid wav after every
+    flush given the patch — standard seekable-header technique).  Replaces
+    accumulate-then-``write_wav`` on long captures (the serving regime:
+    BASELINE.json's pod-scale config is a 1-hour recording).
+    """
+
+    def __init__(self, path: str, fs: float, channels: int = 1):
+        import struct
+        self.path = path
+        self.channels = int(channels)
+        self.fs = int(fs)
+        self._n_frames = 0
+        self._f = open(path, "wb")
+        byte_rate = self.fs * self.channels * 2
+        self._f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                      + b"fmt " + struct.pack("<IHHIIHH", 16, 1,
+                                              self.channels, self.fs,
+                                              byte_rate, self.channels * 2,
+                                              16)
+                      + b"data" + struct.pack("<I", 0))
+
+    def write(self, audio: np.ndarray) -> None:
+        """Append float frames ((n,) mono or (n, channels))."""
+        pcm = pcm_quantize(audio)
+        n = pcm.shape[0]
+        assert pcm.size == n * self.channels, (pcm.shape, self.channels)
+        self._f.write(pcm.tobytes())
+        self._n_frames += n
+
+    def close(self) -> None:
+        import struct
+        data_bytes = self._n_frames * self.channels * 2
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + data_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", data_bytes))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_f32(path: str) -> np.ndarray:
     """float32 .bin reader (src/iofunc.cpp:31-47)."""
     return np.fromfile(path, dtype=np.float32)

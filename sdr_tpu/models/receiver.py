@@ -473,7 +473,10 @@ class Receiver:
         if block_size is None:
             block_size = self.mc.default_block_size(self.with_rds)
         n_blocks = iq.shape[-1] // block_size
-        iq = self._as_input(iq[..., : n_blocks * block_size])
+        # force the source to HOST numpy: a device-array input would keep
+        # the whole capture resident on device (and round-trip each chunk),
+        # breaking the O(chunk) device-memory claim (ADVICE r2)
+        iq = np.asarray(self._as_input(iq[..., : n_blocks * block_size]))
         for k0 in range(0, n_blocks, chunk_blocks):
             k1 = min(k0 + chunk_blocks, n_blocks)
             chunk = iq[..., k0 * block_size: k1 * block_size]
