@@ -36,10 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rds", action="store_true",
                    help="decode RDS frames (modes 0/2 only)")
     p.add_argument("--rds-algo", default="robust",
-                   choices=["robust", "reference"],
+                   choices=["robust", "reference", "tracking"],
                    help="RDS symbol-clock recovery: restart-free "
-                        "phase/parity estimation (robust, default) or the "
-                        "reference-faithful CDR (reference)")
+                        "phase/parity estimation (robust, default), the "
+                        "reference-faithful CDR (reference), or windowed "
+                        "re-estimation for drifting transmit clocks "
+                        "(tracking)")
     p.add_argument("-o", "--output", default="-",
                    help="PCM output path, '-' for stdout")
     p.add_argument("--wav", action="store_true",
@@ -166,6 +168,9 @@ def _main_wideband(args) -> int:
         for w in writers:
             w.close()
     dt = time.time() - t0
+    if with_rds and not args.save_state:
+        for dec in rds_decs:
+            dec.flush()
 
     if n_blocks == 0 and not args.resume:
         print(f"input shorter than one wideband block ({bs_wide} samples); "
@@ -300,6 +305,13 @@ def main(argv=None) -> int:
             in_stream.close()
 
     dt = time.time() - t0
+    if rds_dec is not None and not args.save_state:
+        # decode whatever the CDR still buffers (tracking window tail /
+        # robust estimation buffer on short captures); skipped when
+        # checkpointing so the carry persists for the resumed run
+        for _, off in rds_dec.flush():
+            if len(first_offsets) < 12:
+                first_offsets.append(off)
     if args.save_state:
         from sdr_tpu import checkpoint
         extra, host_arrays = {}, {}

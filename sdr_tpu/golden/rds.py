@@ -267,21 +267,32 @@ def cdr_tracking(x: np.ndarray, sps: int,
         win = x[w0:w0 + w]
         if len(win) < 4 * sps:
             break
-        energies = np.array([np.abs(win[p::sps]).mean()
-                             for p in range(sps)])
-        phase = int(np.argmax(energies))
-        if prev_phase is not None and (
-                energies[phase] < 1.1 * energies[prev_phase]):
-            phase = prev_phase
-        prev_phase = phase
-        s = win[phase::sps]
-        n2 = (len(s) - 1) // 2
-        alt0 = np.mean(np.sign(s[0:2 * n2:2]) != np.sign(s[1:2 * n2:2]))
-        alt1 = np.mean(np.sign(s[1:1 + 2 * n2:2])
-                       != np.sign(s[2:2 + 2 * n2:2]))
-        parity = 0 if alt0 >= alt1 else 1
-        out.append(manchester_decode(s[parity:]))
+        manch, prev_phase = cdr_tracking_window(win, sps, prev_phase)
+        out.append(manch)
     return (np.concatenate(out) if out else np.zeros(0, np.int64))
+
+
+def cdr_tracking_window(win: np.ndarray, sps: int,
+                        prev_phase: int | None
+                        ) -> tuple[np.ndarray, int]:
+    """One window of the tracking CDR (shared by the offline
+    :func:`cdr_tracking` and the streaming decoder so the two emit
+    identical bits on identical windows): re-estimate the sampling phase
+    with keep-unless-clearly-better hysteresis, pick the Manchester
+    pairing parity by sign alternation, decode.  Returns (bits, phase)."""
+    energies = np.array([np.abs(win[p::sps]).mean()
+                         for p in range(sps)])
+    phase = int(np.argmax(energies))
+    if prev_phase is not None and (
+            energies[phase] < 1.1 * energies[prev_phase]):
+        phase = prev_phase
+    s = win[phase::sps]
+    n2 = (len(s) - 1) // 2
+    alt0 = np.mean(np.sign(s[0:2 * n2:2]) != np.sign(s[1:2 * n2:2]))
+    alt1 = np.mean(np.sign(s[1:1 + 2 * n2:2])
+                   != np.sign(s[2:2 + 2 * n2:2]))
+    parity = 0 if alt0 >= alt1 else 1
+    return manchester_decode(s[parity:]), phase
 
 
 def cdr_robust(x: np.ndarray, sps: int, phase: int | None = None,

@@ -73,12 +73,19 @@ class StreamingRdsDecoder:
       upstream model): the emitted frame stream is identical to running
       ``decode_reference`` over the stacked blocks.
     * ``algo="robust"`` (default) — the restart-free phase/parity CDR:
-      phase and Manchester parity are estimated once on the first block
-      (hysteresis-free; use golden.rds.cdr_tracking offline for drifting
-      clocks), then sampling, pairing, and differential decode continue
-      seamlessly across block boundaries, bit-identical to
-      ``decode_robust`` on the concatenated stream given the same
-      phase/parity estimate.
+      phase and Manchester parity are estimated ONCE over the first
+      ``min_est_symbols`` symbols (buffered across blocks — a first-block
+      estimate off ~50 symbols was measurably noisier, ADVICE r2), then
+      sampling, pairing, and differential decode continue seamlessly
+      across block boundaries, bit-identical to ``decode_robust`` on the
+      concatenated stream given the same phase/parity estimate.
+    * ``algo="tracking"`` — the clock-drift-tracking CDR: phase/parity
+      re-estimated per ``window_symbols`` window with hysteresis
+      (golden.rds.cdr_tracking_window — the same code the offline
+      ``decode_robust(window_symbols=...)`` runs, so full windows emit
+      identical bits).  Use for real transmitters whose symbol clock
+      drifts ppm-scale against the receiver grid; call ``flush()`` at
+      EOF to decode the final partial window.
 
     The full carry round-trips through ``state_dict``/``load_state_dict``
     (arrays + JSON-able meta), which ``sdr_tpu.checkpoint`` persists so a
@@ -86,10 +93,13 @@ class StreamingRdsDecoder:
     (SURVEY.md §5 checkpoint/resume contract).
     """
 
-    def __init__(self, sps: int, algo: str = "robust"):
-        assert algo in ("robust", "reference"), algo
+    def __init__(self, sps: int, algo: str = "robust",
+                 window_symbols: int = 256, min_est_symbols: int = 200):
+        assert algo in ("robust", "reference", "tracking"), algo
         self.sps = int(sps)
         self.algo = algo
+        self.window_symbols = int(window_symbols)
+        self.min_est_symbols = int(min_est_symbols)
         self.block_count = 0
         # frame-sync carry
         self.backlog = np.zeros(0, dtype=np.int64)
@@ -104,18 +114,34 @@ class StreamingRdsDecoder:
         self.next_idx = 0               # next sampling point, relative
         self.sym_carry: float | None = None   # unpaired sampled symbol
         self.prev_manch: int | None = None    # diff-decode carry
+        self.est_buf = np.zeros(0, dtype=np.float64)  # pre-estimate samples
+        # tracking-CDR carry
+        self.sample_buf = np.zeros(0, dtype=np.float64)
+        self.prev_phase: int | None = None
         # group-assembly carry: (abs_pos, offset, 16 info bits)
         self.pending: list[tuple[int, str, np.ndarray]] = []
         self.station = rds_groups.StationDecoder()
         self.groups: list[rds_groups.Group] = []
 
     # --- symbol-clock recovery --------------------------------------------
-    def _manchester_bits(self, x: np.ndarray) -> np.ndarray:
-        if self.algo == "reference":
-            manch, self.cdr_state = grds.cdr(x, self.sps, self.cdr_state,
-                                             self.block_count)
-            return manch
+    def _tracking_bits(self, x: np.ndarray) -> np.ndarray:
+        buf = np.concatenate([self.sample_buf, x])
+        w = self.window_symbols * self.sps
+        out: list[np.ndarray] = []
+        while len(buf) >= w:
+            win, buf = buf[:w], buf[w:]
+            manch, self.prev_phase = grds.cdr_tracking_window(
+                win, self.sps, self.prev_phase)
+            out.append(manch)
+        self.sample_buf = buf
+        return (np.concatenate(out) if out else np.zeros(0, np.int64))
+
+    def _robust_bits(self, x: np.ndarray) -> np.ndarray:
         if self.phase < 0:
+            self.est_buf = np.concatenate([self.est_buf, x])
+            if len(self.est_buf) < self.min_est_symbols * self.sps:
+                return np.zeros(0, np.int64)
+            x, self.est_buf = self.est_buf, np.zeros(0, np.float64)
             _, self.phase, self.parity = grds.cdr_robust(x, self.sps)
             self.next_idx = self.phase
             first = True
@@ -133,11 +159,51 @@ class StreamingRdsDecoder:
         self.sym_carry = float(samples[-1]) if len(samples) % 2 else None
         return manch
 
+    def _manchester_bits(self, x: np.ndarray) -> np.ndarray:
+        if self.algo == "reference":
+            manch, self.cdr_state = grds.cdr(x, self.sps, self.cdr_state,
+                                             self.block_count)
+            return manch
+        if self.algo == "tracking":
+            return self._tracking_bits(x)
+        return self._robust_bits(x)
+
     def feed(self, symbols: np.ndarray) -> list[tuple[int, str]]:
         """Consume one block of soft symbols; returns the NEW frame matches
         as (absolute bit position, offset type)."""
         x = np.asarray(symbols, dtype=np.float64).reshape(-1)
         manch = self._manchester_bits(x)
+        self.block_count += 1
+        return self._advance(manch)
+
+    def flush(self) -> list[tuple[int, str]]:
+        """Decode whatever the CDR still buffers (call at EOF).
+
+        ``tracking`` holds up to one window of samples; ``robust`` may
+        still be accumulating its estimation buffer on short captures.
+        ``reference`` buffers nothing.  Idempotent."""
+        if self.algo == "tracking" and len(self.sample_buf) >= 4 * self.sps:
+            manch, self.prev_phase = grds.cdr_tracking_window(
+                self.sample_buf, self.sps, self.prev_phase)
+            self.sample_buf = np.zeros(0, np.float64)
+            return self._advance(manch)
+        if self.algo == "robust" and self.phase < 0 and len(self.est_buf):
+            x, self.est_buf = self.est_buf, np.zeros(0, np.float64)
+            _, self.phase, self.parity = grds.cdr_robust(x, self.sps)
+            self.next_idx = self.phase
+            samples = x[self.next_idx::self.sps]
+            self.next_idx = (self.next_idx
+                             + len(samples) * self.sps) - len(x)
+            samples = samples[self.parity:]
+            n2 = len(samples) // 2
+            a, b = samples[0:2 * n2:2], samples[1:2 * n2:2]
+            manch = ((a > 0) & (b < 0)).astype(np.int64)
+            self.sym_carry = (float(samples[-1]) if len(samples) % 2
+                              else None)
+            return self._advance(manch)
+        return []
+
+    def _advance(self, manch: np.ndarray) -> list[tuple[int, str]]:
         if self.algo == "reference":
             # per-block differential decode, no carry — the convention of
             # the upstream block loop (model/fmRDS.py:274) and
@@ -147,7 +213,6 @@ class StreamingRdsDecoder:
             bits = grds.diff_decode(manch, prev_bit=self.prev_manch)
             if len(manch):
                 self.prev_manch = int(manch[-1])
-        self.block_count += 1
 
         stream = np.concatenate([self.backlog, bits])
         frames = grds.frame_sync(stream)
@@ -197,9 +262,13 @@ class StreamingRdsDecoder:
             "pending_words": (np.stack([w for _, _, w in self.pending])
                               if self.pending
                               else np.zeros((0, 16), np.int64)),
+            "est_buf": self.est_buf.astype(np.float64),
+            "sample_buf": self.sample_buf.astype(np.float64),
         }
         meta = {
             "sps": self.sps, "algo": self.algo,
+            "window_symbols": self.window_symbols,
+            "min_est_symbols": self.min_est_symbols,
             "block_count": self.block_count,
             "backlog_pos": self.backlog_pos,
             "n_matches": self.n_matches, "last_offset": self.last_offset,
@@ -208,6 +277,7 @@ class StreamingRdsDecoder:
             "phase": self.phase, "parity": self.parity,
             "next_idx": self.next_idx, "sym_carry": self.sym_carry,
             "prev_manch": self.prev_manch,
+            "prev_phase": self.prev_phase,
             "pending": [[p, o] for p, o, _ in self.pending],
             "station": self.station.state_json(),
             "n_groups_assembled": len(self.groups),
@@ -217,7 +287,14 @@ class StreamingRdsDecoder:
     @classmethod
     def load_state_dict(cls, arrays: dict[str, np.ndarray],
                         meta: dict) -> "StreamingRdsDecoder":
-        d = cls(meta["sps"], meta["algo"])
+        d = cls(meta["sps"], meta["algo"],
+                window_symbols=meta.get("window_symbols", 256),
+                min_est_symbols=meta.get("min_est_symbols", 200))
+        d.est_buf = np.asarray(arrays.get("est_buf",
+                                          np.zeros(0)), np.float64)
+        d.sample_buf = np.asarray(arrays.get("sample_buf",
+                                             np.zeros(0)), np.float64)
+        d.prev_phase = meta.get("prev_phase")
         d.block_count = meta["block_count"]
         d.backlog = np.asarray(arrays["backlog"], dtype=np.int64)
         d.backlog_pos = meta["backlog_pos"]

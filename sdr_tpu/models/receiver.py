@@ -184,16 +184,26 @@ def rds_pll_params(mc: cfg.ModeConfig) -> jpll.PllParams:
                           norm_bandwidth=0.002)
 
 
-def _audio_fir(x, h, state, mc: cfg.ModeConfig):
+def _audio_fir(x, h, state, mc: cfg.ModeConfig, mxu: bool = False):
     if mc.audio_upsamp > 1:
-        return jfir.fir_block_resample(x, h, state, mc.audio_decim,
-                                       mc.audio_upsamp)
-    return jfir.fir_block_decim(x, h, state, mc.audio_decim)
+        fn = (jfir.fir_block_resample_mm if mxu
+              else jfir.fir_block_resample)
+        return fn(x, h, state, mc.audio_decim, mc.audio_upsamp)
+    fn = jfir.fir_block_decim_mm if mxu else jfir.fir_block_decim
+    return fn(x, h, state, mc.audio_decim)
 
 
 def _auto_pallas() -> bool:
-    """Pallas kernels are the measured-fastest path on TPU; elsewhere they
+    """Pallas PLL is the measured-fastest recurrence on TPU; elsewhere it
     would run under the (slow) interpreter, so default to XLA there."""
+    return jax.default_backend() == "tpu"
+
+
+def _auto_mxu_fir() -> bool:
+    """The banded-matmul FIR kernels (ops.fir.*_mm) are the fast path on
+    TPU — they put every FIR on the MXU instead of C_in=1 convs / the VPU
+    Pallas kernel (measured ~8x on the C=512 RF front-end, VERDICT r2 #1).
+    On CPU the inflated-FLOP band matrix loses to the direct conv."""
     return jax.default_backend() == "tpu"
 
 
@@ -202,7 +212,8 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   stereo: bool = True, with_rds: bool = False,
                   pallas_frontend: bool = False,
                   rds_debug_q: bool = False,
-                  pallas_pll: bool = False
+                  pallas_pll: bool = False,
+                  mxu_fir: bool = False
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
@@ -211,21 +222,36 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     on-device ((x-128)/128, src/iofunc.cpp:133-134), which quarters the
     HBM traffic of the input stream (the bandwidth bottleneck in the
     channel-batched serving regime).  Leading dims are an
-    independent-channel batch.  ``mc``/``stereo``/``with_rds``/
-    ``pallas_frontend`` must be static under jit.  ``pallas_frontend``
-    runs the RF I/Q decimating FIR as the fused Pallas kernel
-    (ops.pallas_fir) instead of the XLA conv.
+    independent-channel batch.  ``mc``/``stereo``/``with_rds``/ the kernel
+    selectors must be static under jit.  ``pallas_frontend`` runs the RF
+    I/Q decimating FIR as the fused Pallas kernel (ops.pallas_fir);
+    ``mxu_fir`` (the TPU default and the fastest measured path) runs
+    EVERY FIR stage as a banded matmul on the MXU (ops.fir.*_mm) and
+    takes precedence over ``pallas_frontend``.
     """
     if iq.dtype == jnp.uint8:
         iq = (iq.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
     s = state
     upd: dict = {}
     empty = jnp.zeros(iq.shape[:-1] + (0,), iq.dtype)
+    fb_multi = jfir.fir_block_multi_mm if mxu_fir else jfir.fir_block_multi
+    fb_resamp = (jfir.fir_block_resample_mm if mxu_fir
+                 else jfir.fir_block_resample)
+    fb_unit = ((lambda x, h, st: jfir.fir_block_decim_mm(x, h, st, 1))
+               if mxu_fir else jfir.fir_block)
 
     # --- RF front-end (ref src/project.cpp:40-152) -----------------------
     i_raw = iq[..., 0::2]
     q_raw = iq[..., 1::2]
-    if pallas_frontend:
+    if mxu_fir:
+        # one matmul over the stacked I/Q pair (doubles M, same W)
+        iq2 = jnp.stack([i_raw, q_raw], axis=-2)       # (..., 2, N_rf)
+        st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
+        ds2, nst2 = jfir.fir_block_decim_mm(iq2, coeffs.rf, st2,
+                                            mc.rf_decim)
+        i_ds, q_ds = ds2[..., 0, :], ds2[..., 1, :]
+        upd["rf_i"], upd["rf_q"] = nst2[..., 0, :], nst2[..., 1, :]
+    elif pallas_frontend:
         from sdr_tpu.ops import pallas_fir
         iq2 = jnp.stack([i_raw, q_raw], axis=-2)       # (..., 2, N_rf)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
@@ -244,7 +270,7 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     fm_delayed, upd["mono_allpass"] = jfir.allpass_delay(fm, s.mono_allpass)
     if not stereo:
         mono, upd["mono_fir"] = _audio_fir(fm_delayed, coeffs.audio,
-                                           s.mono_fir, mc)
+                                           s.mono_fir, mc, mxu_fir)
 
     # --- Band-pass arms (stereo src/project.cpp:154-309; RDS
     # model/fmRDS.py:222-254).  When BOTH arms are on, their carrier-
@@ -257,26 +283,26 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # taps on the feature dimension (MXU) instead of three C=1 convs;
         # their overlap-save states are all the same fm tail
         hs = jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel])
-        filt3, tail = jfir.fir_block_multi(fm, hs, s.stereo_bpf)
+        filt3, tail = fb_multi(fm, hs, s.stereo_bpf)
         st_filt, pi_filt, chan = (filt3[..., 0, :], filt3[..., 1, :],
                                   filt3[..., 2, :])
         upd["stereo_bpf"] = upd["pilot_bpf"] = upd["rds_channel"] = tail
     else:
         if stereo:
             hs = jnp.stack([coeffs.stereo, coeffs.pilot])
-            filt2, tail = jfir.fir_block_multi(fm, hs, s.stereo_bpf)
+            filt2, tail = fb_multi(fm, hs, s.stereo_bpf)
             st_filt, pi_filt = filt2[..., 0, :], filt2[..., 1, :]
             upd["stereo_bpf"] = upd["pilot_bpf"] = tail
         if rds_on:
-            chan, upd["rds_channel"] = jfir.fir_block(fm, coeffs.rds_channel,
-                                                      s.rds_channel)
+            chan, upd["rds_channel"] = fb_unit(fm, coeffs.rds_channel,
+                                               s.rds_channel)
     if rds_on:
         r = mc.rds
         chan_delayed, upd["rds_allpass"] = jfir.allpass_delay(chan,
                                                               s.rds_allpass)
-        carrier, upd["rds_carrier"] = jfir.fir_block(chan * chan,
-                                                     coeffs.rds_carrier,
-                                                     s.rds_carrier)
+        carrier, upd["rds_carrier"] = fb_unit(chan * chan,
+                                              coeffs.rds_carrier,
+                                              s.rds_carrier)
 
     if pallas_pll:
         from sdr_tpu.ops import pallas_pll as jppll
@@ -308,7 +334,7 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # (stacked on a new leading axis) instead of two
         pair = jnp.stack([fm_delayed, mixer], axis=-2)
         st_pair = jnp.stack([s.mono_fir, s.stereo_fir], axis=-2)
-        out2, nst2 = _audio_fir(pair, coeffs.audio, st_pair, mc)
+        out2, nst2 = _audio_fir(pair, coeffs.audio, st_pair, mc, mxu_fir)
         mono, st_final = out2[..., 0, :], out2[..., 1, :]
         upd["mono_fir"] = nst2[..., 0, :]
         upd["stereo_fir"] = nst2[..., 1, :]
@@ -319,20 +345,20 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 
     if rds_on:
         rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
-        resampled, upd["rds_resampler"] = jfir.fir_block_resample(
+        resampled, upd["rds_resampler"] = fb_resamp(
             rds_mixer, coeffs.rds_resampler, s.rds_resampler,
             r.decim, r.upsamp)
-        symbols, upd["rds_rrc"] = jfir.fir_block(resampled, coeffs.rds_rrc,
-                                                 s.rds_rrc)
+        symbols, upd["rds_rrc"] = fb_unit(resampled, coeffs.rds_rrc,
+                                          s.rds_rrc)
         symbols_q = empty
         if rds_debug_q:
             # quadrature debug arm for constellation inspection
             # (model/fmRDS.py:251-254): same chain mixed with the Q NCO
             mixer_q = nco_rq[..., :-1] * chan_delayed * 2.0
-            res_q, upd["rds_resampler_q"] = jfir.fir_block_resample(
+            res_q, upd["rds_resampler_q"] = fb_resamp(
                 mixer_q, coeffs.rds_resampler, s.rds_resampler_q,
                 r.decim, r.upsamp)
-            symbols_q, upd["rds_rrc_q"] = jfir.fir_block(
+            symbols_q, upd["rds_rrc_q"] = fb_unit(
                 res_q, coeffs.rds_rrc, s.rds_rrc_q)
     else:
         symbols = symbols_q = empty
@@ -350,34 +376,43 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 # or copy for the carry in the streaming regime.
 @functools.partial(jax.jit, static_argnames=("mc", "stereo", "with_rds",
                                              "pallas_frontend",
-                                             "rds_debug_q", "pallas_pll"),
+                                             "rds_debug_q", "pallas_pll",
+                                             "mxu_fir"),
                    donate_argnames=("state",))
 def _block_step(iq, coeffs, state, mc, stereo, with_rds,
-                pallas_frontend=False, rds_debug_q=False, pallas_pll=False):
+                pallas_frontend=False, rds_debug_q=False, pallas_pll=False,
+                mxu_fir=False):
     return process_block(iq, coeffs, state, mc, stereo=stereo,
                          with_rds=with_rds, pallas_frontend=pallas_frontend,
-                         rds_debug_q=rds_debug_q, pallas_pll=pallas_pll)
+                         rds_debug_q=rds_debug_q, pallas_pll=pallas_pll,
+                         mxu_fir=mxu_fir)
 
 
 def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
                   with_rds: bool = False,
                   pallas_frontend: bool | None = None,
                   rds_debug_q: bool = False,
-                  pallas_pll: bool | None = None):
+                  pallas_pll: bool | None = None,
+                  mxu_fir: bool | None = None):
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode.
 
-    The ``pallas_*`` kernel selectors default to auto: the Pallas kernels
-    on TPU (measured fastest; bit-identical PLL, parity-gated FIR), the
-    XLA paths elsewhere.
+    Kernel selectors default to auto: on TPU the banded-matmul FIRs
+    (``mxu_fir``) + the Pallas PLL (measured fastest, docs/DESIGN.md §4);
+    the XLA conv paths elsewhere.  An explicit ``pallas_frontend=True``
+    disables ``mxu_fir``'s front-end override so the Pallas FIR kernel
+    stays reachable for A/B runs.
     """
+    if mxu_fir is None:
+        mxu_fir = _auto_mxu_fir() and not pallas_frontend
     if pallas_frontend is None:
-        pallas_frontend = _auto_pallas()
+        pallas_frontend = False
     if pallas_pll is None:
         pallas_pll = _auto_pallas()
 
     def fn(iq, coeffs, state):
         return _block_step(iq, coeffs, state, mc, stereo, with_rds,
-                           pallas_frontend, rds_debug_q, pallas_pll)
+                           pallas_frontend, rds_debug_q, pallas_pll,
+                           mxu_fir)
     return fn
 
 
@@ -397,12 +432,13 @@ def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
     mc = (mode if isinstance(mode, cfg.ModeConfig)
           else cfg.get_mode_config(mode))
     use_pallas = _auto_pallas()
+    use_mxu = _auto_mxu_fir()
 
     def step(st, iq):
         out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
                                 with_rds=with_rds,
-                                pallas_frontend=use_pallas,
-                                pallas_pll=use_pallas)
+                                pallas_pll=use_pallas,
+                                mxu_fir=use_mxu)
         return st, out
 
     final_state, outs = lax.scan(step, state, iq_blocks)

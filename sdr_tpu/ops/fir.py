@@ -170,6 +170,160 @@ def fir_block_resample(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
     return y, new_state
 
 
+# --- MXU (matmul) formulations ------------------------------------------
+#
+# Profiling the C>=128 serving regime (scripts/profile_stages.py, VERDICT
+# r2 #1) showed every FIR stage running 50-100x below the chip's matmul
+# roofline: a conv with C_in = C_out = 1 (or the VPU Pallas kernel) never
+# touches the MXU, and the per-channel cost of those kernels is what
+# capped aggregate throughput at ~1.29 GS/s.  The fix is the classic
+# im2col blocking: take U consecutive outputs per window,
+#
+#     Y[..., w, u] = sum_t X[..., w, t] * W[t, u]
+#     X[..., w, t] = xc[..., w*U*D + t]          (windows, ~11% overlap)
+#     W[t, u]      = h[K-1 + u*D - t]            (banded, zero elsewhere)
+#
+# with T_win = (U-1)*D + K.  The banded W inflates FLOPs by T_win/K
+# (~2-10x) over the polyphase minimum — but moves them onto the MXU,
+# which is ~50x faster than the VPU path they replace: measured 11.7 ms
+# -> ~1 ms for the C=512 RF front-end FIR.  U defaults to 128 = one MXU
+# tile of output columns.
+
+
+def _win_starts(n_win: int, stride: int, t_win: int,
+                limit: int) -> np.ndarray:
+    """Static window-gather index matrix (n_win, t_win), clamped."""
+    idx = (np.arange(n_win)[:, None] * stride + np.arange(t_win)[None, :])
+    return np.minimum(idx, limit - 1)
+
+
+def _gather_windows(xc: jnp.ndarray, n_win: int, stride: int,
+                    t_win: int) -> jnp.ndarray:
+    """(..., L) -> (..., n_win, t_win) overlapped windows (static idx)."""
+    idx = _win_starts(n_win, stride, t_win, xc.shape[-1])
+    return xc[..., jnp.asarray(idx)]
+
+
+@functools.lru_cache(maxsize=64)
+def _decim_band_maps(n_taps: int, decim: int,
+                     u_blk: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(tap-index map, validity mask, T_win) for the banded decimating-FIR
+    weight matrix W[t, u] = h[K-1 + u*D - t]."""
+    t_win = (u_blk - 1) * decim + n_taps
+    t = np.arange(t_win)[:, None]
+    u = np.arange(u_blk)[None, :]
+    n = n_taps - 1 + u * decim - t
+    valid = (n >= 0) & (n < n_taps)
+    return np.clip(n, 0, n_taps - 1), valid, t_win
+
+
+def _band_matrix(h: jnp.ndarray, decim: int, u_blk: int,
+                 dtype) -> tuple[jnp.ndarray, int]:
+    """Banded W (T_win, u_blk) from (possibly traced) taps ``h``."""
+    nmap, valid, t_win = _decim_band_maps(h.shape[0], decim, u_blk)
+    w = jnp.where(jnp.asarray(valid), h[jnp.asarray(nmap)], 0.0)
+    return w.astype(dtype), t_win
+
+
+def fir_block_decim_mm(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
+                       decim: int, u_blk: int = 128
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU drop-in for :func:`fir_block_decim` (bit-comparable outputs;
+    HIGH-precision matmul like the conv path)."""
+    k = h.shape[0]
+    n = x.shape[-1]
+    assert n % decim == 0, (n, decim)
+    n_out = n // decim
+    u_blk = min(u_blk, n_out)
+    n_win = _cdiv(n_out, u_blk)
+    xc = jnp.concatenate([state, x], axis=-1)
+    w, t_win = _band_matrix(h, decim, u_blk, x.dtype)
+    xw = _gather_windows(xc, n_win, u_blk * decim, t_win)
+    y = jnp.einsum("...wt,tu->...wu", xw, w,
+                   preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGH).astype(x.dtype)
+    y = y.reshape(y.shape[:-2] + (n_win * u_blk,))[..., :n_out]
+    new_state = xc[..., xc.shape[-1] - (k - 1):]
+    return y, new_state
+
+
+def fir_block_multi_mm(x: jnp.ndarray, hs: jnp.ndarray,
+                       states: jnp.ndarray, u_blk: int = 128
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU drop-in for :func:`fir_block_multi`: C same-length filters over
+    one input as a single (T_win x C*U) matmul."""
+    c, k = hs.shape
+    n = x.shape[-1]
+    u_blk = min(u_blk, n)
+    n_win = _cdiv(n, u_blk)
+    xc = jnp.concatenate([states, x], axis=-1)
+    nmap, valid, t_win = _decim_band_maps(k, 1, u_blk)
+    # hs.T is (K, C); index taps along axis 0 with nmap (T_win, U) ->
+    # (T_win, U, C); reorder to (T_win, C, U)
+    w3 = jnp.where(jnp.asarray(valid)[..., None],
+                   hs.T[jnp.asarray(nmap)], 0.0)
+    w3 = jnp.moveaxis(w3, -1, 1).astype(x.dtype)      # (T_win, C, U)
+    xw = _gather_windows(xc, n_win, u_blk, t_win)
+    y = jnp.einsum("...wt,tcu->...cwu", xw, w3,
+                   preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGH).astype(x.dtype)
+    y = y.reshape(y.shape[:-2] + (n_win * u_blk,))[..., :n]
+    new_state = xc[..., xc.shape[-1] - (k - 1):]
+    return y, new_state
+
+
+@functools.lru_cache(maxsize=64)
+def _resample_band_np(n_taps: int, decim: int,
+                      upsamp: int) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray, int]:
+    """Static scatter maps for the banded resampler weight matrix.
+
+    Output block = one full phase cycle (U outputs), window stride D
+    inputs: y[w*U + u] = sum_r h[p_u + r*U] * xc[w*D + c_u + (t-1) - r]
+    with p_u = (u*D) mod U, c_u = (u*D - p_u)/U, t = ceil(K/U).
+    Returns (o_idx (t, U), n_idx (t, U), valid (t, U), T_win)."""
+    t = _cdiv(n_taps, upsamp)
+    u = np.arange(upsamp)
+    p = (u * decim) % upsamp
+    c = (u * decim - p) // upsamp
+    r = np.arange(t)[:, None]
+    n_idx = p[None, :] + r * upsamp               # tap index
+    o_idx = c[None, :] + (t - 1) - r              # window offset
+    valid = n_idx < n_taps
+    t_win = int(c.max()) + t
+    return o_idx, np.clip(n_idx, 0, n_taps - 1), valid, t_win
+
+
+def fir_block_resample_mm(x: jnp.ndarray, h: jnp.ndarray,
+                          state: jnp.ndarray, decim: int, upsamp: int
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU drop-in for :func:`fir_block_resample` (xU gain).
+
+    Requires the block length divisible by ``decim`` (every mode's
+    default block satisfies this — config.if_block_multiple); falls back
+    to the gather-einsum path otherwise."""
+    k = h.shape[0]
+    t = _cdiv(k, upsamp)
+    n = x.shape[-1]
+    if n % decim != 0:
+        return fir_block_resample(x, h, state, decim, upsamp)
+    n_win = n // decim
+    o_idx, n_idx, valid, t_win = _resample_band_np(k, decim, upsamp)
+    xc = jnp.concatenate([state, x], axis=-1)
+    vals = jnp.where(jnp.asarray(valid),
+                     h[jnp.asarray(n_idx)] * upsamp, 0.0)
+    w = jnp.zeros((t_win, upsamp), jnp.float32).at[
+        jnp.asarray(o_idx), jnp.asarray(np.broadcast_to(
+            np.arange(upsamp)[None, :], o_idx.shape))].add(vals)
+    xw = _gather_windows(xc, n_win, decim, t_win)
+    y = jnp.einsum("...wt,tu->...wu", xw, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGH).astype(x.dtype)
+    y = y.reshape(y.shape[:-2] + (n_win * upsamp,))
+    new_state = xc[..., xc.shape[-1] - (t - 1):] if t > 1 else xc[..., :0]
+    return y, new_state
+
+
 def allpass_delay(x: jnp.ndarray,
                   state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pure delay by len(state) samples (ref: model/fmSupportLib.py:291-295)."""

@@ -212,11 +212,19 @@ def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
                      rng: np.random.Generator, tone_l: float, tone_r: float,
                      with_stereo: bool, with_rds: bool,
                      rds_clock_ppm: float,
-                     rds_station: StationConfig | None = None):
+                     rds_station: StationConfig | None = None,
+                     clock_ppm: float = 0.0):
     """Composite FM multiplex + ground truth at an arbitrary sample rate
-    (shared by the single-station and wideband synthesizers)."""
+    (shared by the single-station and wideband synthesizers).
+
+    ``clock_ppm`` offsets the transmitter's MASTER oscillator: real
+    hardware derives the 19 kHz pilot, the 57 kHz subcarrier (3x pilot),
+    and the 1187.5 bit/s symbol clock (pilot/16) from one crystal, so a
+    ppm error shifts them all together.  ``rds_clock_ppm`` additionally
+    offsets only the symbol clock (a pure symbol-timing stressor)."""
     n = int(round(duration_s * fs))
     t = np.arange(n) / fs
+    scale = 1.0 + clock_ppm * 1e-6
 
     left = 0.9 * np.sin(2 * np.pi * tone_l * t)
     right = 0.9 * np.sin(2 * np.pi * tone_r * t)
@@ -225,7 +233,7 @@ def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
     rds_info = np.zeros((0, 4, 16), dtype=np.int64)
     rds_framed = np.zeros(0, dtype=np.int64)
     if with_stereo:
-        pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * t
+        pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * scale * t
         mpx = mpx + 0.10 * np.sin(pilot_phase)
         # DSB-SC at 38 kHz, phase-locked to the pilot (2x).  The receiver's
         # PLL (atan2 detector, model/fmSupportLib.py:297-353) locks its
@@ -236,9 +244,10 @@ def _build_multiplex(duration_s: float, fs: float, mc: cfg.ModeConfig,
     if with_rds and mc.rds is not None:
         n_groups = max(2, int(duration_s * cfg.RDS_SYMBOL_RATE / 2 / 104) + 1)
         shaped, rds_info, rds_framed = _shaped_rds_baseband(
-            n, fs, rng, n_groups, clock_ppm=rds_clock_ppm,
+            n, fs, rng, n_groups,
+            clock_ppm=rds_clock_ppm + clock_ppm,
             station=rds_station)
-        pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * t
+        pilot_phase = 2 * np.pi * cfg.PILOT_FREQ_HZ * scale * t
         # 57 kHz = 3x pilot, phase-locked
         mpx = mpx + 0.06 * shaped * np.sin(3.0 * pilot_phase)
     return mpx, left, right, rds_info, rds_framed
@@ -250,12 +259,15 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
                   deviation_hz: float = 75e3,
                   noise_std: float = 0.0,
                   rds_clock_ppm: float = 0.0,
-                  rds_station: StationConfig | None = None) -> SynthResult:
+                  rds_station: StationConfig | None = None,
+                  clock_ppm: float = 0.0) -> SynthResult:
     """Synthesize an FM station and return u8 IQ + ground truth.
 
     ``rds_station`` transmits structured programme information (PI/PTY/
     PS name/RadioText) instead of random groups — the full-chain ground
-    truth for models.rds_groups.decode_station.
+    truth for models.rds_groups.decode_station.  ``clock_ppm`` models a
+    drifting transmit master oscillator (pilot + subcarrier + symbol
+    clock together); ``rds_clock_ppm`` drifts the symbol clock alone.
     """
     mc = cfg.get_mode_config(mode)
     rng = np.random.default_rng(seed)
@@ -263,7 +275,7 @@ def synthesize_fm(duration_s: float = 0.5, mode: int | cfg.Mode = 0,
     n = int(round(duration_s * rf_fs))
     mpx, left, right, rds_info, rds_framed = _build_multiplex(
         duration_s, rf_fs, mc, rng, tone_l, tone_r, with_stereo, with_rds,
-        rds_clock_ppm, rds_station=rds_station)
+        rds_clock_ppm, rds_station=rds_station, clock_ppm=clock_ppm)
 
     # FM modulate: instantaneous frequency = deviation * mpx
     phase = 2 * np.pi * deviation_hz * np.cumsum(mpx) / rf_fs
