@@ -247,6 +247,47 @@ def fir_block_decim_mm(x: jnp.ndarray, h: jnp.ndarray, state: jnp.ndarray,
     return y, new_state
 
 
+def fir_block_decim_mm_interleaved(x_int: jnp.ndarray, h: jnp.ndarray,
+                                   st2: jnp.ndarray, decim: int,
+                                   u_blk: int = 128
+                                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RF front-end variant of :func:`fir_block_decim_mm` that gathers its
+    windows straight from the INTERLEAVED I,Q,... signal.
+
+    ``x_int`` is (..., 2*N) interleaved; ``st2`` is the (..., 2, K-1)
+    stacked I/Q overlap-save state.  Deinterleaving a 2.4 MS/s block is a
+    strided-slice relayout XLA does not fuse into the window gather
+    (measured ~1.2 ms of the C=512 block, docs/profile_stages.json);
+    here the gather's index map simply reads even/odd positions, so the
+    relayout never materializes.  The state is prepended interleaved
+    (300 floats/channel), keeping every window uniform.  Outputs and new
+    state are bit-identical to fir_block_decim_mm on the deinterleaved
+    input (same W, same summation order).
+    """
+    k = h.shape[0]
+    n = x_int.shape[-1] // 2
+    assert n % decim == 0, (n, decim)
+    n_out = n // decim
+    u_blk = min(u_blk, n_out)
+    n_win = _cdiv(n_out, u_blk)
+    lead = st2.shape[:-2]
+    st_int = jnp.moveaxis(st2, -2, -1).reshape(lead + (2 * (k - 1),))
+    xi = jnp.concatenate([st_int, x_int], axis=-1)
+
+    w, t_win = _band_matrix(h, decim, u_blk, x_int.dtype)
+    idx = _win_starts(n_win, u_blk * decim, t_win, n + k - 1)
+    idx2 = np.stack([2 * idx, 2 * idx + 1])          # (2, n_win, t_win)
+    xw = xi[..., jnp.asarray(idx2)]                  # (..., 2, n_win, t_win)
+    y = jnp.einsum("...wt,tu->...wu", xw, w,
+                   preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGH).astype(x_int.dtype)
+    y = y.reshape(lead + (2, n_win * u_blk))[..., :n_out]
+
+    tail = x_int[..., x_int.shape[-1] - 2 * (k - 1):]
+    new_st = jnp.moveaxis(tail.reshape(lead + (k - 1, 2)), -1, -2)
+    return y, new_st
+
+
 def fir_block_multi_mm(x: jnp.ndarray, hs: jnp.ndarray,
                        states: jnp.ndarray, u_blk: int = 128
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -271,3 +271,132 @@ class TestSpectrum:
         np.testing.assert_allclose(np.asarray(jp), gp, atol=0.1)
         # peak bin at 19 kHz
         assert abs(gf[np.argmax(gp)] - 19e3) < fs / 512
+
+
+class TestMxuFir:
+    """MXU banded-matmul FIR kernels (ops.fir.*_mm, DESIGN.md §2) vs their
+    conv/gather siblings: same math, different unit.  States must be
+    EXACTLY equal (they are input slices); outputs within f32 accumulation
+    noise.  These kernels are the TPU default (receiver mxu_fir) and the
+    source of the round-3 serving-regime speedup."""
+
+    @pytest.mark.parametrize("n,k,d,batch", [
+        (5760, 151, 10, ()),          # mode-0 RF shape
+        (5760, 151, 10, (3,)),        # channel batch
+        (5760, 101, 5, (2, 2)),       # mode-0 audio decim, 2D batch
+        (640, 13, 10, ()),            # short taps
+        (1278, 7, 2, ()),             # n_out not a multiple of u_blk
+    ])
+    def test_decim_matches_conv(self, rng, n, k, d, batch):
+        h = _f32(rng.normal(size=k))
+        x = _f32(rng.normal(size=batch + (n,)))
+        st = _f32(rng.normal(size=batch + (k - 1,)))
+        y0, s0 = jfir.fir_block_decim(x, h, st, d)
+        y1, s1 = jfir.fir_block_decim_mm(x, h, st, d)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    def test_interleaved_bit_identical_to_mm(self, rng):
+        """The RF-front-end variant gathers from the interleaved signal;
+        same W and summation order -> bit-identical to the plain mm on
+        the deinterleaved input."""
+        n, k, d = 5760, 151, 10
+        h = _f32(rng.normal(size=k))
+        x_int = _f32(rng.normal(size=(3, 2 * n)))
+        st2 = _f32(rng.normal(size=(3, 2, k - 1)))
+        iq2 = jnp.stack([x_int[..., 0::2], x_int[..., 1::2]], axis=-2)
+        y0, s0 = jfir.fir_block_decim_mm(iq2, h, st2, d)
+        y1, s1 = jfir.fir_block_decim_mm_interleaved(x_int, h, st2, d)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    def test_interleaved_streaming_invariance(self, rng):
+        """Chained interleaved-mm blocks == one big interleaved-mm block."""
+        n, k, d = 1920, 151, 10
+        h = _f32(rng.normal(size=k))
+        x = _f32(rng.normal(size=(4 * 2 * n,)))
+        st = jnp.zeros((2, k - 1), jnp.float32)
+        one, _ = jfir.fir_block_decim_mm_interleaved(x, h, st, d)
+        st2 = jnp.zeros((2, k - 1), jnp.float32)
+        parts = []
+        for b in range(4):
+            y, st2 = jfir.fir_block_decim_mm_interleaved(
+                x[b * 2 * n:(b + 1) * 2 * n], h, st2, d)
+            parts.append(np.asarray(y))
+        # chained and whole-capture runs tile different window counts, so
+        # the matmul summation orders differ: f32-noise equal, not bit
+        np.testing.assert_allclose(np.concatenate(parts, -1),
+                                   np.asarray(one), atol=5e-5)
+
+    def test_multi_matches_conv(self, rng):
+        hs = _f32(rng.normal(size=(3, 151)))
+        x = _f32(rng.normal(size=(4, 5760)))
+        st = _f32(rng.normal(size=(4, 150)))
+        y0, s0 = jfir.fir_block_multi(x, hs, st)
+        y1, s1 = jfir.fir_block_multi_mm(x, hs, st)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    @pytest.mark.parametrize("n,d,u", [
+        (5760, 960, 247),    # mode-0 RDS
+        (9600, 1920, 817),   # mode-2 RDS
+        (9600, 800, 147),    # mode-2 audio
+        (9600, 3200, 441),   # mode-3 audio
+    ])
+    def test_resample_matches_gather(self, rng, n, d, u):
+        k = 101 * u
+        h = _f32(rng.normal(size=k))
+        x = _f32(rng.normal(size=(2, n)))
+        st = _f32(rng.normal(size=(2, jfir.resample_state_len(k, u))))
+        y0, s0 = jfir.fir_block_resample(x, h, st, d, u)
+        y1, s1 = jfir.fir_block_resample_mm(x, h, st, d, u)
+        ref = np.abs(np.asarray(y0)).max()
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=max(1e-6, 2e-4 * ref))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    def test_resample_mm_falls_back_when_indivisible(self, rng):
+        """Block length not divisible by D -> transparent fallback to the
+        gather path (still correct)."""
+        n, d, u = 5761, 7, 3
+        k = 33
+        h = _f32(rng.normal(size=k))
+        x = _f32(rng.normal(size=(n - n % d + d,)))  # pick n % d != 0
+        x = x[: (n // d) * d + 1 + (d - 1)]          # length with n%d!=0
+        n_eff = x.shape[-1]
+        if n_eff % d == 0:
+            x = x[:-1]
+            n_eff -= 1
+        assert n_eff % d != 0
+        # must still satisfy the resampler's own divisibility n*u % d == 0
+        while (n_eff * u) % d != 0:
+            n_eff -= 1
+        x = x[:n_eff]
+        st = jnp.zeros((jfir.resample_state_len(k, u),), jnp.float32)
+        y0, _ = jfir.fir_block_resample(x, h, st, d, u)
+        y1, _ = jfir.fir_block_resample_mm(x, h, st, d, u)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-5)
+
+    def test_receiver_mxu_matches_conv_dag(self, rng):
+        """Full mode-0 stereo+RDS block: mxu_fir DAG vs conv DAG."""
+        from sdr_tpu import config as cfg
+        from sdr_tpu.models import receiver as rx
+        from sdr_tpu.utils import synth
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(True)
+        res = synth.synthesize_fm(duration_s=0.15, mode=0, with_rds=True,
+                                  seed=1)
+        blk = jnp.asarray(res.iq_u8[:bs])
+        coeffs = rx.design_coeffs(mc)
+        o1, s1 = rx.process_block(blk, coeffs, rx.init_state(mc), mc,
+                                  stereo=True, with_rds=True, mxu_fir=True)
+        o0, s0 = rx.process_block(blk, coeffs, rx.init_state(mc), mc,
+                                  stereo=True, with_rds=True,
+                                  mxu_fir=False)
+        for a in ("left", "right", "mono", "rds_symbols", "fm_demod"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(o1, a)), np.asarray(getattr(o0, a)),
+                atol=1e-4, err_msg=a)
