@@ -134,6 +134,19 @@ def main() -> None:
         return st2, jnp.sum(y)
     timings["rf_fir_xla_conv"] = scan_diff(rf_step_xla, rfst)
 
+    # 1b. the fused u8 front-end: u8->bf16 normalize + deinterleave +
+    # weight-split bf16 matmul as ONE unit (compare against
+    # u8_norm_deinterleave + rf_fir_mm, the f32 pipeline it replaces)
+    def rf_step_u8bf16(st2):
+        q2 = jnp.stack([blk_u8[..., 0::2], blk_u8[..., 1::2]], axis=-2)
+        q2 = ((q2.astype(jnp.bfloat16) - jnp.bfloat16(128.0))
+              * jnp.bfloat16(1.0 / 128.0))
+        y, st2 = jfir.fir_block_decim_mm_bf16x(q2, coeffs.rf, st2,
+                                               mc.rf_decim)
+        return st2, jnp.sum(y)
+    timings["rf_frontend_u8_bf16x"] = scan_diff(
+        rf_step_u8bf16, rfst.astype(jnp.bfloat16))
+
     if on_tpu:
         from sdr_tpu.ops import pallas_fir
 

@@ -229,11 +229,17 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     EVERY FIR stage as a banded matmul on the MXU (ops.fir.*_mm) and
     takes precedence over ``pallas_frontend``.
     """
-    if iq.dtype == jnp.uint8:
+    # u8 + MXU front-end: normalize into EXACT bfloat16 — (x-128)/128 is an
+    # 8-bit integer times 2^-7, exactly representable in bf16, so the
+    # normalized bf16 values are bit-identical to the f32 ones while the
+    # normalize pass + window gather move half the bytes and the RF matmul
+    # runs native bf16 passes (ops.fir.fir_block_decim_mm_bf16x).
+    u8_bf16_fe = iq.dtype == jnp.uint8 and mxu_fir
+    if iq.dtype == jnp.uint8 and not u8_bf16_fe:
         iq = (iq.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
     s = state
     upd: dict = {}
-    empty = jnp.zeros(iq.shape[:-1] + (0,), iq.dtype)
+    empty = jnp.zeros(iq.shape[:-1] + (0,), jnp.float32)
     fb_multi = jfir.fir_block_multi_mm if mxu_fir else jfir.fir_block_multi
     fb_resamp = (jfir.fir_block_resample_mm if mxu_fir
                  else jfir.fir_block_resample)
@@ -250,8 +256,19 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # as a tested variant, not the default.
         iq2 = jnp.stack([iq[..., 0::2], iq[..., 1::2]], axis=-2)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
-        ds2, nst2 = jfir.fir_block_decim_mm(iq2, coeffs.rf, st2,
-                                            mc.rf_decim)
+        if u8_bf16_fe:
+            # deinterleave + normalize fuse into one u8->bf16 pass; the
+            # f32 state tail is bf16-exact (it was produced by this same
+            # path last block, or is the zero init), so the round-trip
+            # through the f32 state pytree is lossless
+            iq2 = ((iq2.astype(jnp.bfloat16) - jnp.bfloat16(128.0))
+                   * jnp.bfloat16(1.0 / 128.0))
+            ds2, nst2 = jfir.fir_block_decim_mm_bf16x(
+                iq2, coeffs.rf, st2.astype(jnp.bfloat16), mc.rf_decim)
+            nst2 = nst2.astype(jnp.float32)
+        else:
+            ds2, nst2 = jfir.fir_block_decim_mm(iq2, coeffs.rf, st2,
+                                                mc.rf_decim)
         i_ds, q_ds = ds2[..., 0, :], ds2[..., 1, :]
         upd["rf_i"], upd["rf_q"] = nst2[..., 0, :], nst2[..., 1, :]
     elif pallas_frontend:

@@ -329,6 +329,60 @@ class TestMxuFir:
         np.testing.assert_allclose(np.concatenate(parts, -1),
                                    np.asarray(one), atol=5e-5)
 
+    def test_bf16_u8_normalize_is_exact(self, rng):
+        """(u8 - 128)/128 in bfloat16 is bit-identical to the f32
+        normalization: an 8-bit signed integer times 2^-7 fits bf16's
+        8 mantissa bits exactly.  This is the premise of the bf16x
+        front-end (ops.fir.fir_block_decim_mm_bf16x)."""
+        u8 = jnp.asarray(rng.integers(0, 256, size=4096, dtype=np.uint8))
+        f32 = (u8.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
+        bf = ((u8.astype(jnp.bfloat16) - jnp.bfloat16(128.0))
+              * jnp.bfloat16(1.0 / 128.0))
+        np.testing.assert_array_equal(np.asarray(bf.astype(jnp.float32)),
+                                      np.asarray(f32))
+
+    def test_bf16x_matches_f32_mm_on_u8_input(self, rng):
+        """Weight-split bf16 kernel vs the f32 HIGH kernel on u8-normalized
+        input: x side exact, W split to ~2^-17 — tighter than HIGH's
+        1.5e-5.  State tail must round-trip the f32 pytree losslessly."""
+        n, k, d = 5760, 151, 10
+        h = _f32(rng.normal(size=k) * 0.05)
+        u8 = rng.integers(0, 256, size=(3, n), dtype=np.uint8)
+        x32 = (jnp.asarray(u8).astype(jnp.float32) - 128.0) / 128.0
+        xbf = ((jnp.asarray(u8).astype(jnp.bfloat16) - jnp.bfloat16(128.0))
+               * jnp.bfloat16(1.0 / 128.0))
+        st32 = jnp.zeros((3, k - 1), jnp.float32)
+        y0, s0 = jfir.fir_block_decim_mm(x32, h, st32, d)
+        y1, s1 = jfir.fir_block_decim_mm_bf16x(
+            xbf, h, st32.astype(jnp.bfloat16), d)
+        ref = np.abs(np.asarray(y0)).max()
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=max(1e-6, 5e-5 * ref))
+        np.testing.assert_array_equal(
+            np.asarray(s1.astype(jnp.float32)), np.asarray(s0))
+
+    def test_receiver_u8_bf16_frontend_matches_f32_mxu(self):
+        """Full mode-0 stereo+RDS block: raw-u8 mxu DAG (bf16 front-end)
+        vs the same DAG fed pre-normalized f32 (f32 HIGH front-end)."""
+        from sdr_tpu import config as cfg
+        from sdr_tpu.models import receiver as rx
+        from sdr_tpu.utils import synth
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(True)
+        res = synth.synthesize_fm(duration_s=0.15, mode=0, with_rds=True,
+                                  seed=3)
+        raw = jnp.asarray(res.iq_u8[:bs])
+        coeffs = rx.design_coeffs(mc)
+        o1, _ = rx.process_block(raw, coeffs, rx.init_state(mc), mc,
+                                 stereo=True, with_rds=True, mxu_fir=True)
+        o0, _ = rx.process_block(synth.u8_to_float(res.iq_u8[:bs]), coeffs,
+                                 rx.init_state(mc), mc, stereo=True,
+                                 with_rds=True, mxu_fir=True)
+        for a in ("left", "right", "mono", "rds_symbols", "fm_demod"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(o1, a)), np.asarray(getattr(o0, a)),
+                atol=1e-4, err_msg=a)
+
     def test_multi_matches_conv(self, rng):
         hs = _f32(rng.normal(size=(3, 151)))
         x = _f32(rng.normal(size=(4, 5760)))
