@@ -227,7 +227,9 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     I/Q decimating FIR as the fused Pallas kernel (ops.pallas_fir);
     ``mxu_fir`` (the TPU default and the fastest measured path) runs
     EVERY FIR stage as a banded matmul on the MXU (ops.fir.*_mm) and
-    takes precedence over ``pallas_frontend``.
+    takes precedence over ``pallas_frontend`` — except that
+    ``mxu_fir + pallas_frontend`` on raw u8 input selects the fully
+    fused Pallas MXU front-end (ops.pallas_fir_mxu).
     """
     # u8 + MXU front-end: normalize into EXACT bfloat16 — (x-128)/128 is an
     # 8-bit integer times 2^-7, exactly representable in bf16, so the
@@ -256,7 +258,13 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # as a tested variant, not the default.
         iq2 = jnp.stack([iq[..., 0::2], iq[..., 1::2]], axis=-2)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
-        if u8_bf16_fe:
+        if u8_bf16_fe and pallas_frontend:
+            # fully fused Pallas kernel: i8 bias flip + bf16 normalize +
+            # window assembly + weight-split matmul, all in VMEM
+            from sdr_tpu.ops import pallas_fir_mxu
+            ds2, nst2 = pallas_fir_mxu.fir_frontend_u8_pallas(
+                iq, coeffs.rf, st2, mc.rf_decim)
+        elif u8_bf16_fe:
             # deinterleave + normalize fuse into one u8->bf16 pass; the
             # f32 state tail is bf16-exact (it was produced by this same
             # path last block, or is the zero init), so the round-trip

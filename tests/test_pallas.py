@@ -162,3 +162,57 @@ class TestPllPallas:
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(o3.rds_symbols),
                                    np.asarray(o1.rds_symbols), atol=1e-3)
+
+
+class TestMxuFrontendPallas:
+    """Fused u8 MXU front-end (ops.pallas_fir_mxu): i8 bias-flip + bf16
+    normalize + banded weight-split matmul in one kernel.  Same W and
+    inputs as the XLA bf16x path; the zero-extended W rows shift f32
+    accumulation order, so equality is to 1 ULP, not bitwise."""
+
+    @pytest.mark.parametrize("n,decim,c", [
+        (57600, 10, 3),   # mode-0 RF shape (halo block 256 = 2x128)
+        (25020, 5, 2),    # mode-1 (halo 640 = 5x128)
+        (9600, 3, 1),     # mode-3 (halo 384 = 3x128)
+    ])
+    def test_bit_identical_to_bf16x(self, rng, n, decim, c):
+        from sdr_tpu.ops import fir as jfir
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
+        k = 151
+        h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
+        u8 = rng.integers(0, 256, size=(c, 2 * n), dtype=np.uint8)
+        st32 = jnp.asarray(
+            rng.integers(-128, 128, size=(c, 2, k - 1)).astype(np.float32)
+            / 128.0)
+        iq = jnp.asarray(u8)
+        iq2 = jnp.stack([iq[..., 0::2], iq[..., 1::2]], axis=-2)
+        iq2 = ((iq2.astype(jnp.bfloat16) - jnp.bfloat16(128.0))
+               * jnp.bfloat16(1.0 / 128.0))
+        y0, s0 = jfir.fir_block_decim_mm_bf16x(
+            iq2, h, st32.astype(jnp.bfloat16), decim)
+        y1, s1 = pfm.fir_frontend_u8_pallas(iq, h, st32, decim,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=0, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(s1), np.asarray(s0.astype(jnp.float32)))
+
+    def test_streaming_state_chain(self, rng):
+        """Chained blocks == one big block (overlap-save via the f32
+        state round-trip, which is lossless for u8-normalized values)."""
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
+        n, k, d = 5760, 151, 10
+        h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
+        u8 = rng.integers(0, 256, size=(2, 4 * 2 * n), dtype=np.uint8)
+        whole, _ = pfm.fir_frontend_u8_pallas(
+            jnp.asarray(u8), h, jnp.zeros((2, 2, k - 1), jnp.float32), d,
+            interpret=True)
+        st = jnp.zeros((2, 2, k - 1), jnp.float32)
+        parts = []
+        for b in range(4):
+            y, st = pfm.fir_frontend_u8_pallas(
+                jnp.asarray(u8[:, b * 2 * n:(b + 1) * 2 * n]), h, st, d,
+                interpret=True)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts, -1),
+                                   np.asarray(whole), atol=1e-6)
