@@ -256,7 +256,11 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # save the deinterleave relayout, but the even/odd-strided gather
         # is ~10% SLOWER than deinterleave + dense gather on v5e — kept
         # as a tested variant, not the default.
-        iq2 = jnp.stack([iq[..., 0::2], iq[..., 1::2]], axis=-2)
+        # deinterleave via reshape+transpose, not two strided slices:
+        # measured 0.84 vs 1.23 ms on the C=512 u8 block (the elementwise
+        # normalize fuses into the transpose copy either way)
+        iq2 = jnp.moveaxis(
+            iq.reshape(iq.shape[:-1] + (iq.shape[-1] // 2, 2)), -1, -2)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
         if u8_bf16_fe and pallas_frontend:
             # fully fused Pallas kernel: i8 bias flip + bf16 normalize +

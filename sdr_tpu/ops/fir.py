@@ -278,10 +278,14 @@ def fir_block_decim_mm_bf16x(x: jnp.ndarray, h: jnp.ndarray,
     w_hi = w32.astype(jnp.bfloat16)
     w_lo = (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     xw = _gather_windows(xc, n_win, u_blk * decim, t_win)
-    dot = functools.partial(jnp.einsum, "...wt,tu->...wu",
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.DEFAULT)
-    y = dot(xw, w_hi) + dot(xw, w_lo)
+    # one matmul over [W_hi | W_lo] (not two): the window matrix — the
+    # dominant operand — is read once, and the hi/lo partials come back as
+    # adjacent output columns to be summed on the VPU
+    y2 = jnp.einsum("...wt,tu->...wu", xw,
+                    jnp.concatenate([w_hi, w_lo], axis=-1),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT)
+    y = y2[..., :u_blk] + y2[..., u_blk:]
     y = y.reshape(y.shape[:-2] + (n_win * u_blk,))[..., :n_out]
     new_state = xc[..., xc.shape[-1] - (k - 1):]
     return y, new_state

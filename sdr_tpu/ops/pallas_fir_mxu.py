@@ -48,14 +48,19 @@ _VMEM_BUDGET_BYTES = 8 << 20
 _U = 128   # output columns per window = one MXU tile
 
 
-def _halo_lanes(decim: int, n_taps: int) -> int:
-    """Smallest 128-multiple that divides the window stride S = 128*decim
+def _halo_lanes_u(decim: int, n_taps: int, u_blk: int) -> int:
+    """Smallest 128-multiple that divides the window stride S = u_blk*decim
     AND covers the inter-window overlap K - decim."""
+    stride = u_blk * decim
     need = n_taps - decim
-    for d in range(1, decim + 1):
-        if decim % d == 0 and 128 * d >= need:
-            return 128 * d
-    raise ValueError(f"taps {n_taps} too long for stride {128 * decim}")
+    for m in range(128, stride + 1, 128):
+        if stride % m == 0 and m >= need:
+            return m
+    raise ValueError(f"taps {n_taps} too long for stride {stride}")
+
+
+def _halo_lanes(decim: int, n_taps: int) -> int:
+    return _halo_lanes_u(decim, n_taps, _U)
 
 
 def _kernel(xm_ref, xh_ref, w_ref, out_ref, win, *, stride: int, hb: int):
@@ -67,14 +72,18 @@ def _kernel(xm_ref, xh_ref, w_ref, out_ref, win, *, stride: int, hb: int):
     out_ref[...] = acc[:, :_U] + acc[:, _U:]
 
 
-def _auto_btile(b_pad: int, ww: int) -> int:
+def _auto_btile(b_pad: int, ww: int, n_ocols: int = 2 * _U) -> int:
     """Batch-tile so the i8 blocks + bf16 window + split weights + out fit
-    the VMEM budget with double buffering."""
-    per_row = ww * 1 * 2 + ww * 2 + _U * 4 * 2 + 2 * _U * 2  # i8 x2buf,
-    # bf16 win, f32 out x2buf, acc
-    fixed = ww * 2 * _U * 2 * 2                              # [W_hi|W_lo]
+    the VMEM budget with double buffering.  Prefers a tile that divides
+    ``b_pad`` evenly — a 62%-full final tile is pure wasted MXU work."""
+    per_row = ww * 1 * 2 + ww * 2 + n_ocols * 4 * 2 + n_ocols * 4
+    fixed = ww * n_ocols * 2 * 2                             # [W_hi|W_lo]
     bt = (_VMEM_BUDGET_BYTES - fixed) // per_row // 32 * 32
-    return max(32, min(bt, b_pad))
+    bt = max(32, min(bt, b_pad))
+    for cand in range(bt, 31, -32):
+        if b_pad % cand == 0:
+            return cand
+    return bt
 
 
 def fir_decim_mxu_pallas(xc_i8: jnp.ndarray, h: jnp.ndarray, decim: int,
@@ -167,3 +176,134 @@ def fir_frontend_u8_pallas(iq_u8: jnp.ndarray, h: jnp.ndarray,
     tail = xc[..., xc.shape[-1] - (k - 1):]
     new_st = tail.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
     return y, new_st
+
+
+# --- interleaved-signal variant: zero relayout passes ---------------------
+#
+# The micro-attribution at C=512 (docs/profile_stages.json, round 3) put
+# the u8 deinterleave at ~1.0 ms and the im2col window gather at ~0.8 ms
+# while the matmul itself costs ~0.2 ms — the front-end is relayout-bound,
+# not compute-bound.  This variant removes BOTH relayouts: the kernel
+# reads the RAW interleaved bytes (bitcast u8->i8 is free) and the banded
+# weights are interleaved to match,
+#
+#     W_int[2t + a, a*U + u] = W[t, u]        (a = 0 I-arm, 1 Q-arm)
+#
+# so one (bt, 2S)x(2S+2hb, 4U) MXU pass per window yields I and Q output
+# columns side by side.  The doubled contraction length doubles MXU FLOPs
+# — a ~0.2 ms cost buying ~1.8 ms of relayout.  The only XLA-side pass is
+# the state-prepend concat of raw bytes.
+
+
+def _kernel_int(xm_ref, xh_ref, whi_ref, wlo_ref, out_ref, win, *,
+                s2: int):
+    # bias flip on raw bits: (x ^ 0x80) as int8 == x - 128 for the u8
+    # sample x (two's-complement sign-bit flip); the bf16 convert of an
+    # 8-bit integer and the *2^-7 scale are exact.  NOTE a select-based
+    # formulation (jnp.where on bf16) crashes this Mosaic toolchain's
+    # compile helper — the XOR is both the fast and the compilable form.
+    def norm(ref):
+        return ((ref[...] ^ jnp.int8(-128)).astype(jnp.bfloat16)
+                * jnp.bfloat16(1.0 / 128.0))
+
+    win[:, :s2] = norm(xm_ref)
+    win[:, s2:] = norm(xh_ref)
+    w = win[...]
+    out_ref[...] = (jnp.dot(w, whi_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(w, wlo_ref[...],
+                              preferred_element_type=jnp.float32))
+
+
+def fir_frontend_u8_pallas_int(iq_u8: jnp.ndarray, h: jnp.ndarray,
+                               st2: jnp.ndarray, decim: int,
+                               u_blk: int | None = None,
+                               interpret: bool | None = None
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved-weights drop-in for :func:`fir_frontend_u8_pallas`.
+
+    Same contract: (..., 2N) interleaved uint8 in, ((..., 2, N/decim) f32,
+    (..., 2, K-1) f32 state) out, outputs equal to the banded-matmul FIR
+    of the u8-normalized signal (weight-split bf16 passes).  ``u_blk``
+    trades window count against weight-block size (64 keeps the
+    interleaved W under ~1 MB of VMEM per split half).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = h.shape[0]
+    n = iq_u8.shape[-1] // 2
+    assert n % decim == 0, (n, decim)
+    n_out = n // decim
+    if u_blk is None:
+        # smallest block with a valid halo width (the halo must be a
+        # 128-multiple dividing the stride — not every (decim, u) has one)
+        for u_blk in (64, 128, 256):
+            try:
+                _halo_lanes_u(decim, k, u_blk)
+                break
+            except ValueError:
+                continue
+    stride = u_blk * decim
+    hb = _halo_lanes_u(decim, k, u_blk)
+    s2, hb2 = 2 * stride, 2 * hb
+    ww2 = s2 + hb2
+    u2 = 2 * u_blk
+    n_win = _cdiv(n_out, u_blk)
+
+    lead = iq_u8.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    b_pad = _cdiv(b, 32) * 32
+    bt = _auto_btile(b_pad, ww2, n_ocols=u2)
+    n_btiles = _cdiv(b_pad, bt)
+    b_full = n_btiles * bt
+
+    # raw bytes end to end: bitcast input (free), state back to bytes
+    # (lossless — values are u8-normalized), ONE concat/pad copy pass
+    x_i8 = lax.bitcast_convert_type(iq_u8, jnp.int8).reshape(b, 2 * n)
+    st_int = jnp.moveaxis(st2, -2, -1).reshape(b, 2 * (k - 1))
+    st_i8 = lax.bitcast_convert_type(
+        (st_int * 128.0 + 128.0).astype(jnp.uint8), jnp.int8)
+    xc = jnp.concatenate([st_i8, x_i8], axis=-1)
+    lane_pad = n_win * s2 + hb2 - xc.shape[-1]
+    xc = jnp.pad(xc, ((0, b_full - b), (0, max(lane_pad, 0))))
+
+    # interleaved banded weights, zero-extended, split hi/lo as two
+    # separate operands (columns [I | Q] each)
+    w32, t_win = _band_matrix(h, decim, u_blk, jnp.float32)
+    wi = jnp.zeros((ww2, 2, u_blk), jnp.float32)
+    rows = np.arange(t_win)
+    wi = wi.at[jnp.asarray(2 * rows), 0, :].set(w32)
+    wi = wi.at[jnp.asarray(2 * rows + 1), 1, :].set(w32)
+    wi = wi.reshape(ww2, u2)
+    w_hi = wi.astype(jnp.bfloat16)
+    w_lo = (wi - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    kern = functools.partial(_kernel_int, s2=s2)
+    wspec = pl.BlockSpec((ww2, u2), lambda bi, w: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_btiles, n_win),
+        in_specs=[
+            pl.BlockSpec((bt, s2), lambda bi, w: (bi, w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hb2),
+                         lambda bi, w, s=s2 // hb2: (bi, (w + 1) * s),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec,
+        ],
+        out_specs=pl.BlockSpec((bt, u2), lambda bi, w: (bi, w),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_full, n_win * u2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, ww2), jnp.bfloat16)],
+        interpret=interpret,
+    )(xc, xc, w_hi, w_lo)
+
+    y = out[:b].reshape(b, n_win, 2, u_blk)
+    y = jnp.moveaxis(y, 2, 1).reshape(b, 2, n_win * u_blk)[..., :n_out]
+    tail_u8 = lax.bitcast_convert_type(
+        x_i8[:, x_i8.shape[-1] - 2 * (k - 1):], jnp.uint8)
+    tail = (tail_u8.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
+    new_st = jnp.moveaxis(tail.reshape(b, k - 1, 2), -1, -2)
+    return (y.reshape(lead + (2, n_out)),
+            new_st.reshape(lead + (2, k - 1)))

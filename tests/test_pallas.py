@@ -216,3 +216,41 @@ class TestMxuFrontendPallas:
             parts.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(parts, -1),
                                    np.asarray(whole), atol=1e-6)
+
+    @pytest.mark.parametrize("n,decim,c", [
+        (57600, 10, 3), (25020, 5, 2), (9600, 3, 1)])
+    def test_interleaved_variant_matches(self, rng, n, decim, c):
+        """fir_frontend_u8_pallas_int (interleaved weights, zero relayout)
+        vs the deinterleaved kernel: same weight-split math, ULP-level."""
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
+        k = 151
+        h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
+        u8 = rng.integers(0, 256, size=(c, 2 * n), dtype=np.uint8)
+        st32 = jnp.asarray(
+            rng.integers(-128, 128, size=(c, 2, k - 1)).astype(np.float32)
+            / 128.0)
+        y0, s0 = pfm.fir_frontend_u8_pallas(jnp.asarray(u8), h, st32,
+                                            decim, interpret=True)
+        y1, s1 = pfm.fir_frontend_u8_pallas_int(jnp.asarray(u8), h, st32,
+                                                decim, interpret=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    def test_interleaved_streaming_state_chain(self, rng):
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
+        n, k, d = 5760, 151, 10
+        h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
+        u8 = rng.integers(0, 256, size=(2, 4 * 2 * n), dtype=np.uint8)
+        whole, _ = pfm.fir_frontend_u8_pallas_int(
+            jnp.asarray(u8), h, jnp.zeros((2, 2, k - 1), jnp.float32), d,
+            interpret=True)
+        st = jnp.zeros((2, 2, k - 1), jnp.float32)
+        parts = []
+        for b in range(4):
+            y, st = pfm.fir_frontend_u8_pallas_int(
+                jnp.asarray(u8[:, b * 2 * n:(b + 1) * 2 * n]), h, st, d,
+                interpret=True)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts, -1),
+                                   np.asarray(whole), atol=1e-6)
