@@ -63,7 +63,8 @@ def run_ppm(ppm: float) -> dict:
 
 
 def main() -> int:
-    rows = [run_ppm(p) for p in (50.0, -50.0, 0.0)]
+    rows = [run_ppm(p)
+            for p in (50.0, -50.0, 100.0, -100.0, 200.0, -200.0, 0.0)]
     for r in rows:
         print(f"ppm={r['clock_ppm']:+6.1f}: sent {r['frames_sent']}, "
               f"fixed {r['fixed_phase']['frames']} "

@@ -246,53 +246,127 @@ def cdr(x: np.ndarray, sps: int, state: CdrState,
     return bits, new_state
 
 
+@dataclasses.dataclass
+class TrackState:
+    """Carry of the drift-tracking CDR: a second-order timing loop.
+
+    ``pos`` is the next sampling position relative to the start of the
+    next window (fractional); ``step`` is the current samples-per-symbol
+    estimate (init: nominal sps, tracks the transmit clock in ppm);
+    ``carry_sym`` holds an unpaired first-of-Manchester-pair sample across
+    the window boundary so the pairing parity NEVER re-derives (the
+    round-3 per-window parity vote slipped at boundaries under drift,
+    direction-asymmetrically — VERDICT r3 #6).  ``locked`` is False until
+    the first window establishes phase and parity."""
+
+    pos: float = 0.0
+    step: float = 0.0
+    carry_sym: float | None = None
+    locked: bool = False
+
+
+# timing-loop gains: err is the measured window-center phase offset in
+# samples; pos absorbs G_POS of it immediately, step absorbs G_STEP spread
+# over the window's symbols (a damped 2nd-order loop; lock in ~3 windows
+# at 400 ppm, stable to the +-0.5-sample measurement noise floor)
+_G_POS = 0.7
+_G_STEP = 0.3
+
+
+def _frac_peak(energies: np.ndarray) -> float:
+    """Circular argmax with parabolic interpolation -> fractional phase."""
+    p0 = int(np.argmax(energies))
+    n = len(energies)
+    y1, y2, y3 = energies[(p0 - 1) % n], energies[p0], energies[(p0 + 1) % n]
+    denom = y1 - 2.0 * y2 + y3
+    delta = 0.5 * (y1 - y3) / denom if denom < 0 else 0.0
+    return p0 + float(np.clip(delta, -0.5, 0.5))
+
+
 def cdr_tracking(x: np.ndarray, sps: int,
                  window_symbols: int = 256) -> np.ndarray:
-    """Clock-drift-tracking CDR: windowed phase/parity re-estimation.
+    """Clock-drift-tracking CDR: a windowed second-order timing loop.
 
     Real transmit oscillators drift against the receiver grid (tens of ppm
     accumulate to whole samples over seconds); a single global sampling
-    phase then walks off the symbol peaks.  This decoder re-estimates the
-    phase per ``window_symbols`` window (with hysteresis so it only moves
-    when clearly better) and the Manchester pairing parity per window via
-    sign-alternation, emitting Manchester bits per window.  Occasional
-    one-bit slips at window boundaries are absorbed by the sliding-window
-    frame synchronizer downstream.
+    phase then walks off the symbol peaks.  This decoder measures the
+    fractional symbol phase per ``window_symbols`` window (energy peak
+    over the sps grid, parabolically interpolated) and closes a
+    proportional + clock-rate loop on it, then samples at the CONTINUOUS
+    positions ``pos + j*step`` — so the sample stream never slips a symbol
+    at a window boundary and the Manchester pairing parity is established
+    once and carried, not re-voted (re-voting was direction-asymmetric
+    under drift, VERDICT r3 #6).
     """
     x = np.asarray(x)
     w = window_symbols * sps
     out: list[np.ndarray] = []
-    prev_phase: int | None = None
+    st = TrackState()
     for w0 in range(0, len(x), w):
         win = x[w0:w0 + w]
         if len(win) < 4 * sps:
             break
-        manch, prev_phase = cdr_tracking_window(win, sps, prev_phase)
+        manch, st = cdr_tracking_window(win, sps, st)
         out.append(manch)
     return (np.concatenate(out) if out else np.zeros(0, np.int64))
 
 
 def cdr_tracking_window(win: np.ndarray, sps: int,
-                        prev_phase: int | None
-                        ) -> tuple[np.ndarray, int]:
+                        state: TrackState | None
+                        ) -> tuple[np.ndarray, TrackState]:
     """One window of the tracking CDR (shared by the offline
     :func:`cdr_tracking` and the streaming decoder so the two emit
-    identical bits on identical windows): re-estimate the sampling phase
-    with keep-unless-clearly-better hysteresis, pick the Manchester
-    pairing parity by sign alternation, decode.  Returns (bits, phase)."""
-    energies = np.array([np.abs(win[p::sps]).mean()
-                         for p in range(sps)])
-    phase = int(np.argmax(energies))
-    if prev_phase is not None and (
-            energies[phase] < 1.1 * energies[prev_phase]):
-        phase = prev_phase
-    s = win[phase::sps]
-    n2 = (len(s) - 1) // 2
-    alt0 = np.mean(np.sign(s[0:2 * n2:2]) != np.sign(s[1:2 * n2:2]))
-    alt1 = np.mean(np.sign(s[1:1 + 2 * n2:2])
-                   != np.sign(s[2:2 + 2 * n2:2]))
-    parity = 0 if alt0 >= alt1 else 1
-    return manchester_decode(s[parity:]), phase
+    identical bits on identical windows).  Returns (bits, new_state)."""
+    st = state if state is not None else TrackState()
+    win = np.asarray(win)
+    energies = np.array([np.abs(win[p::sps]).mean() for p in range(sps)])
+    phi = _frac_peak(energies)
+
+    if not st.locked:
+        pos, step = phi, float(sps)
+        # establish the Manchester pairing parity once, by sign alternation
+        s0 = win[int(round(pos)) % sps::sps]
+        n2 = (len(s0) - 1) // 2
+        alt0 = np.mean(np.sign(s0[0:2 * n2:2]) != np.sign(s0[1:2 * n2:2]))
+        alt1 = np.mean(np.sign(s0[1:1 + 2 * n2:2])
+                       != np.sign(s0[2:2 + 2 * n2:2]))
+        parity = 0 if alt0 >= alt1 else 1
+        pos += parity * step          # pairing starts at the chosen symbol
+        carry: float | None = None
+    else:
+        pos, step, carry = st.pos, st.step, st.carry_sym
+        # phase error measured against the loop's prediction at window
+        # CENTER (the energy grid averages the whole window, and under
+        # drift the true phase slides (J/2)*(step-sps) by mid-window)
+        n_sym = len(win) / step
+        pred_mid = (pos + (n_sym / 2.0) * (step - sps)) % sps
+        err = (phi - pred_mid + sps / 2.0) % sps - sps / 2.0
+        # pos stays the estimate of the SAME next symbol (a correction is
+        # never a symbol skip): cap it against noisy phase measurements,
+        # and when it lands just before the window start, clamp — index 0
+        # samples that symbol off-peak; wrapping would skip it and flip
+        # the Manchester pairing for the rest of the stream
+        pos += float(np.clip(_G_POS * err, -3.0, 3.0))
+        pos = max(pos, -0.499)
+        step += _G_STEP * err / max(n_sym, 1.0)
+        step = float(np.clip(step, sps * 0.995, sps * 1.005))
+
+    # continuous sampling: every position pos + j*step that rounds inside
+    # this window, then carry the overhang to the next window
+    j_max = int(np.floor((len(win) - 0.5 - pos) / step))
+    idx = np.round(pos + np.arange(j_max + 1) * step).astype(np.int64)
+    idx = idx[(idx >= 0) & (idx < len(win))]
+    samples = win[idx] if len(idx) else np.zeros(0, win.dtype)
+    new_pos = (pos + (j_max + 1) * step) - len(win)
+
+    if carry is not None and len(samples):
+        samples = np.concatenate([[carry], samples])
+    n2 = len(samples) // 2
+    a, b = samples[0:2 * n2:2], samples[1:2 * n2:2]
+    bits = ((a > 0) & (b < 0)).astype(np.int64)
+    new_carry = float(samples[-1]) if len(samples) % 2 else None
+    return bits, TrackState(pos=float(new_pos), step=float(step),
+                            carry_sym=new_carry, locked=True)
 
 
 def cdr_robust(x: np.ndarray, sps: int, phase: int | None = None,

@@ -79,13 +79,16 @@ class StreamingRdsDecoder:
       sampling, pairing, and differential decode continue seamlessly
       across block boundaries, bit-identical to ``decode_robust`` on the
       concatenated stream given the same phase/parity estimate.
-    * ``algo="tracking"`` — the clock-drift-tracking CDR: phase/parity
-      re-estimated per ``window_symbols`` window with hysteresis
-      (golden.rds.cdr_tracking_window — the same code the offline
-      ``decode_robust(window_symbols=...)`` runs, so full windows emit
-      identical bits).  Use for real transmitters whose symbol clock
-      drifts ppm-scale against the receiver grid; call ``flush()`` at
-      EOF to decode the final partial window.
+    * ``algo="tracking"`` — the clock-drift-tracking CDR: a second-order
+      timing loop (fractional phase + clock-rate estimate) measured per
+      ``window_symbols`` window, sampling at continuous positions so no
+      symbol slips at window boundaries and the Manchester pairing is
+      established once, not re-voted (golden.rds.cdr_tracking_window —
+      the same code the offline ``decode_robust(window_symbols=...)``
+      runs, so full windows emit identical bits).  Use for real
+      transmitters whose symbol clock drifts ppm-scale against the
+      receiver grid; call ``flush()`` at EOF to decode the final partial
+      window.
 
     The full carry round-trips through ``state_dict``/``load_state_dict``
     (arrays + JSON-able meta), which ``sdr_tpu.checkpoint`` persists so a
@@ -117,7 +120,7 @@ class StreamingRdsDecoder:
         self.est_buf = np.zeros(0, dtype=np.float64)  # pre-estimate samples
         # tracking-CDR carry
         self.sample_buf = np.zeros(0, dtype=np.float64)
-        self.prev_phase: int | None = None
+        self.track_state: grds.TrackState | None = None
         # group-assembly carry: (abs_pos, offset, 16 info bits)
         self.pending: list[tuple[int, str, np.ndarray]] = []
         self.station = rds_groups.StationDecoder()
@@ -130,8 +133,8 @@ class StreamingRdsDecoder:
         out: list[np.ndarray] = []
         while len(buf) >= w:
             win, buf = buf[:w], buf[w:]
-            manch, self.prev_phase = grds.cdr_tracking_window(
-                win, self.sps, self.prev_phase)
+            manch, self.track_state = grds.cdr_tracking_window(
+                win, self.sps, self.track_state)
             out.append(manch)
         self.sample_buf = buf
         return (np.concatenate(out) if out else np.zeros(0, np.int64))
@@ -183,8 +186,8 @@ class StreamingRdsDecoder:
         still be accumulating its estimation buffer on short captures.
         ``reference`` buffers nothing.  Idempotent."""
         if self.algo == "tracking" and len(self.sample_buf) >= 4 * self.sps:
-            manch, self.prev_phase = grds.cdr_tracking_window(
-                self.sample_buf, self.sps, self.prev_phase)
+            manch, self.track_state = grds.cdr_tracking_window(
+                self.sample_buf, self.sps, self.track_state)
             self.sample_buf = np.zeros(0, np.float64)
             return self._advance(manch)
         if self.algo == "robust" and self.phase < 0 and len(self.est_buf):
@@ -277,7 +280,10 @@ class StreamingRdsDecoder:
             "phase": self.phase, "parity": self.parity,
             "next_idx": self.next_idx, "sym_carry": self.sym_carry,
             "prev_manch": self.prev_manch,
-            "prev_phase": self.prev_phase,
+            "track": (None if self.track_state is None else
+                      [self.track_state.pos, self.track_state.step,
+                       self.track_state.carry_sym,
+                       self.track_state.locked]),
             "pending": [[p, o] for p, o, _ in self.pending],
             "station": self.station.state_json(),
             "n_groups_assembled": len(self.groups),
@@ -294,7 +300,11 @@ class StreamingRdsDecoder:
                                           np.zeros(0)), np.float64)
         d.sample_buf = np.asarray(arrays.get("sample_buf",
                                              np.zeros(0)), np.float64)
-        d.prev_phase = meta.get("prev_phase")
+        tr = meta.get("track")
+        d.track_state = (None if tr is None else grds.TrackState(
+            pos=float(tr[0]), step=float(tr[1]),
+            carry_sym=None if tr[2] is None else float(tr[2]),
+            locked=bool(tr[3])))
         d.block_count = meta["block_count"]
         d.backlog = np.asarray(arrays["backlog"], dtype=np.int64)
         d.backlog_pos = meta["backlog_pos"]

@@ -207,6 +207,18 @@ def _auto_mxu_fir() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _auto_pallas_frontend() -> bool:
+    """The fused Pallas MXU u8 front-end is the fastest measured RF path
+    on TPU: the interleaved-weights kernel (ops.pallas_fir_mxu.
+    fir_frontend_u8_pallas_int) raced 0.77 vs 2.18 ms against the XLA
+    bf16x formulation on the C=512 mode-0 block, and scales sublinearly
+    where the XLA relayout passes grow superlinearly
+    (docs/kernel_race_r4.json).  It only engages on raw u8 input under
+    ``mxu_fir`` (f32 inputs fall through to the banded-matmul path), so
+    auto-on is safe for every input dtype."""
+    return jax.default_backend() == "tpu"
+
+
 def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   state: ReceiverState, mc: cfg.ModeConfig,
                   stereo: bool = True, with_rds: bool = False,
@@ -223,13 +235,22 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     HBM traffic of the input stream (the bandwidth bottleneck in the
     channel-batched serving regime).  Leading dims are an
     independent-channel batch.  ``mc``/``stereo``/``with_rds``/ the kernel
-    selectors must be static under jit.  ``pallas_frontend`` runs the RF
-    I/Q decimating FIR as the fused Pallas kernel (ops.pallas_fir);
-    ``mxu_fir`` (the TPU default and the fastest measured path) runs
-    EVERY FIR stage as a banded matmul on the MXU (ops.fir.*_mm) and
-    takes precedence over ``pallas_frontend`` — except that
-    ``mxu_fir + pallas_frontend`` on raw u8 input selects the fully
-    fused Pallas MXU front-end (ops.pallas_fir_mxu).
+    selectors must be static under jit.  ``mxu_fir`` (TPU default) runs
+    EVERY FIR stage as a banded matmul on the MXU (ops.fir.*_mm);
+    ``mxu_fir + pallas_frontend`` (also TPU default) on raw u8 input
+    selects the fully fused Pallas MXU front-end
+    (ops.pallas_fir_mxu.fir_frontend_u8_pallas_int — the r4 race
+    winner); ``pallas_frontend`` alone runs the legacy VPU Pallas FIR
+    (ops.pallas_fir, the measured-slower A/B variant).
+
+    State-dtype contract: on the u8 + ``mxu_fir`` paths the RF overlap-
+    save state is assumed u8-normalized (its f32 values are k/128 for
+    integer k in [-128, 128)), which is bf16-exact and losslessly
+    recoverable as bytes.  That holds whenever the state was produced by
+    this same path (or is the zero init); resuming a checkpoint that was
+    produced from FLOAT input with raw-u8 input afterwards would silently
+    quantize the carried RF tail to the nearest 1/128 for one block
+    (ADVICE r3).  Mixing input dtypes across a checkpoint is unsupported.
     """
     # u8 + MXU front-end: normalize into EXACT bfloat16 — (x-128)/128 is an
     # 8-bit integer times 2^-7, exactly representable in bf16, so the
@@ -263,10 +284,12 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
             iq.reshape(iq.shape[:-1] + (iq.shape[-1] // 2, 2)), -1, -2)
         st2 = jnp.stack([s.rf_i, s.rf_q], axis=-2)
         if u8_bf16_fe and pallas_frontend:
-            # fully fused Pallas kernel: i8 bias flip + bf16 normalize +
-            # window assembly + weight-split matmul, all in VMEM
+            # fully fused Pallas kernel, INTERLEAVED-weights form (the
+            # r4 race winner, docs/kernel_race_r4.json): raw bytes stream
+            # HBM->VMEM with zero relayout passes; i8 bias flip + bf16
+            # normalize + window assembly + weight-split matmul in VMEM
             from sdr_tpu.ops import pallas_fir_mxu
-            ds2, nst2 = pallas_fir_mxu.fir_frontend_u8_pallas(
+            ds2, nst2 = pallas_fir_mxu.fir_frontend_u8_pallas_int(
                 iq, coeffs.rf, st2, mc.rf_decim)
         elif u8_bf16_fe:
             # deinterleave + normalize fuse into one u8->bf16 pass; the
@@ -430,15 +453,17 @@ def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode.
 
     Kernel selectors default to auto: on TPU the banded-matmul FIRs
-    (``mxu_fir``) + the Pallas PLL (measured fastest, docs/DESIGN.md §4);
-    the XLA conv paths elsewhere.  An explicit ``pallas_frontend=True``
-    disables ``mxu_fir``'s front-end override so the Pallas FIR kernel
-    stays reachable for A/B runs.
+    (``mxu_fir``) + the fused Pallas MXU u8 front-end
+    (``pallas_frontend``, engaged on raw u8 input) + the Pallas PLL —
+    each the measured-fastest variant (docs/kernel_race_r4.json,
+    docs/DESIGN.md §4); the XLA conv paths elsewhere.  To A/B the legacy
+    VPU Pallas FIR, pass ``pallas_frontend=True, mxu_fir=False``
+    explicitly.
     """
     if mxu_fir is None:
-        mxu_fir = _auto_mxu_fir() and not pallas_frontend
+        mxu_fir = _auto_mxu_fir()
     if pallas_frontend is None:
-        pallas_frontend = False
+        pallas_frontend = _auto_pallas_frontend() and mxu_fir
     if pallas_pll is None:
         pallas_pll = _auto_pallas()
 
@@ -466,12 +491,14 @@ def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
           else cfg.get_mode_config(mode))
     use_pallas = _auto_pallas()
     use_mxu = _auto_mxu_fir()
+    use_pfe = _auto_pallas_frontend() and use_mxu
 
     def step(st, iq):
         out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
                                 with_rds=with_rds,
                                 pallas_pll=use_pallas,
-                                mxu_fir=use_mxu)
+                                mxu_fir=use_mxu,
+                                pallas_frontend=use_pfe)
         return st, out
 
     final_state, outs = lax.scan(step, state, iq_blocks)

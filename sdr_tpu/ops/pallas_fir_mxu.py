@@ -263,9 +263,9 @@ def fir_frontend_u8_pallas_int(iq_u8: jnp.ndarray, h: jnp.ndarray,
     st_int = jnp.moveaxis(st2, -2, -1).reshape(b, 2 * (k - 1))
     st_i8 = lax.bitcast_convert_type(
         (st_int * 128.0 + 128.0).astype(jnp.uint8), jnp.int8)
-    xc = jnp.concatenate([st_i8, x_i8], axis=-1)
-    lane_pad = n_win * s2 + hb2 - xc.shape[-1]
-    xc = jnp.pad(xc, ((0, b_full - b), (0, max(lane_pad, 0))))
+    xc0 = jnp.concatenate([st_i8, x_i8], axis=-1)
+    lane_pad = n_win * s2 + hb2 - xc0.shape[-1]
+    xc = jnp.pad(xc0, ((0, b_full - b), (0, max(lane_pad, 0))))
 
     # interleaved banded weights, zero-extended, split hi/lo as two
     # separate operands (columns [I | Q] each)
@@ -301,8 +301,11 @@ def fir_frontend_u8_pallas_int(iq_u8: jnp.ndarray, h: jnp.ndarray,
 
     y = out[:b].reshape(b, n_win, 2, u_blk)
     y = jnp.moveaxis(y, 2, 1).reshape(b, 2, n_win * u_blk)[..., :n_out]
+    # tail from the state-prepended concat (NOT x_i8 alone): a block with
+    # N < K-1 samples must carry part of the incoming state forward, same
+    # contract as fir_frontend_u8_pallas / every other FIR op (ADVICE r3)
     tail_u8 = lax.bitcast_convert_type(
-        x_i8[:, x_i8.shape[-1] - 2 * (k - 1):], jnp.uint8)
+        xc0[:, xc0.shape[-1] - 2 * (k - 1):], jnp.uint8)
     tail = (tail_u8.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 128.0)
     new_st = jnp.moveaxis(tail.reshape(b, k - 1, 2), -1, -2)
     return (y.reshape(lead + (2, n_out)),

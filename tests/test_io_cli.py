@@ -38,6 +38,24 @@ class TestIo:
         sio.write_f32(p, x)
         np.testing.assert_array_equal(sio.read_f32(p), x)
 
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_streaming_wav_byte_identical_to_write_wav(self, tmp_path,
+                                                       channels):
+        """The incremental writer (the CLI's --wav path, single-station
+        AND wideband) produces byte-identical files to accumulate +
+        write_wav, in per-block chunks."""
+        rng = np.random.default_rng(5)
+        shape = (3000,) if channels == 1 else (3000, channels)
+        audio = rng.uniform(-1, 1, shape).astype(np.float32)
+        ref = str(tmp_path / "ref.wav")
+        sio.write_wav(ref, audio, 48000)
+        inc = str(tmp_path / "inc.wav")
+        with sio.StreamingWavWriter(inc, 48000, channels=channels) as w:
+            for k in range(0, 3000, 700):
+                w.write(audio[k:k + 700])
+        with open(ref, "rb") as f1, open(inc, "rb") as f2:
+            assert f1.read() == f2.read()
+
 
 class TestCli:
     @pytest.fixture(scope="class")

@@ -142,6 +142,55 @@ class TestU8Input:
                                       np.asarray(out_f32.fm_demod))
 
 
+    def test_pallas_mxu_frontend_branch_streaming(self):
+        """The TPU-default u8 front-end selection (mxu_fir +
+        pallas_frontend -> ops.pallas_fir_mxu.fir_frontend_u8_pallas_int)
+        through the FULL receiver DAG: per-block outputs match the XLA
+        bf16x selection at ULP level AND the state chain across blocks is
+        preserved (ADVICE r3: this branch had op-level tests only)."""
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(with_rds=True)
+        res = synth.synthesize_fm(duration_s=0.1, mode=0, seed=9,
+                                  with_rds=True)
+        coeffs = trx.design_coeffs(mc)
+        sa = sb = trx.init_state(mc)
+        import jax
+        import jax.numpy as jnp
+        for b in range(2):
+            blk = jnp.asarray(res.iq_u8[b * bs:(b + 1) * bs])
+            oa, sa = trx.process_block(blk, coeffs, sa, mc, stereo=True,
+                                       with_rds=True, mxu_fir=True,
+                                       pallas_frontend=True)
+            ob, sb = trx.process_block(blk, coeffs, sb, mc, stereo=True,
+                                       with_rds=True, mxu_fir=True)
+            # identical weight-split bf16 math, different accumulation
+            # grouping: ULP-level, not bitwise
+            np.testing.assert_allclose(np.asarray(oa.left),
+                                       np.asarray(ob.left), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(oa.rds_symbols),
+                                       np.asarray(ob.rds_symbols),
+                                       atol=2e-4)
+        # the carried RF state is raw-byte recoverable on both paths
+        np.testing.assert_array_equal(np.asarray(sa.rf_i),
+                                      np.asarray(sb.rf_i))
+        np.testing.assert_array_equal(np.asarray(sa.rf_q),
+                                      np.asarray(sb.rf_q))
+        # checkpoint round-trip restores the exact pytree for this branch
+        flat_a = jax.tree.leaves(sa)
+        rt = jax.tree.unflatten(jax.tree.structure(sa),
+                                [jnp.asarray(np.asarray(l))
+                                 for l in flat_a])
+        blk = jnp.asarray(res.iq_u8[2 * bs:3 * bs])
+        o1, _ = trx.process_block(blk, coeffs, sa, mc, stereo=True,
+                                  with_rds=True, mxu_fir=True,
+                                  pallas_frontend=True)
+        o2, _ = trx.process_block(blk, coeffs, rt, mc, stereo=True,
+                                  with_rds=True, mxu_fir=True,
+                                  pallas_frontend=True)
+        np.testing.assert_array_equal(np.asarray(o1.left),
+                                      np.asarray(o2.left))
+
+
 class TestChannelBatch:
     def test_batched_rows_match_single(self):
         """A (2, N) channel batch gives per-row results equal to two
