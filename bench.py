@@ -63,11 +63,9 @@ def _make_scan(rx, mc, coeffs, iq_u8, bs, nb, c, stereo=True,
     @jax.jit
     def scan_fn(blocks, state):
         def step(st, blk):
-            mxu = rx._auto_mxu_fir()
             out, st = rx.process_block(
                 blk, coeffs, st, mc, stereo=stereo, with_rds=with_rds,
-                pallas_pll=rx._auto_pallas(), mxu_fir=mxu,
-                pallas_frontend=rx._auto_pallas_frontend() and mxu)
+                **rx.auto_kernel_selectors())
             probe = out.rds_symbols if with_rds else out.mono
             return st, jnp.sum(out.left) + jnp.sum(probe)
         st, sums = lax.scan(step, state, blocks)

@@ -107,8 +107,14 @@ def main() -> None:
     timings["full_dag_mxu"] = scan_diff(
         full_step_factory(mxu_fir=True, pallas_pll=on_tpu), st0)
     if on_tpu:
+        # the shipped default: mxu FIRs + fused Pallas MXU u8 front-end
+        # (fir_frontend_u8_pallas_int, r4 race winner) + Pallas PLL
+        timings["full_dag_default_pallas_int"] = scan_diff(
+            full_step_factory(mxu_fir=True, pallas_frontend=True,
+                              pallas_pll=True), st0)
         timings["full_dag_r2_pallas_conv"] = scan_diff(
-            full_step_factory(pallas_frontend=True, pallas_pll=True), st0)
+            full_step_factory(pallas_frontend=True, mxu_fir=False,
+                              pallas_pll=True), st0)
 
     # --- stage inputs (device-resident, realistic magnitudes) -------------
     key = jax.random.PRNGKey(0)
@@ -149,12 +155,21 @@ def main() -> None:
 
     if on_tpu:
         from sdr_tpu.ops import pallas_fir
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
 
         def rf_step_pal(st2):
             y, st2 = pallas_fir.fir_block_decim_pallas(iq2, coeffs.rf, st2,
                                                        mc.rf_decim)
             return st2, jnp.sum(y)
         timings["rf_fir_pallas"] = scan_diff(rf_step_pal, rfst)
+
+        # the DEFAULT front-end: raw u8 in, fused normalize + window +
+        # matmul in VMEM (replaces u8_norm_deinterleave + rf matmul)
+        def rf_step_int(st2):
+            y, st2 = pfm.fir_frontend_u8_pallas_int(blk_u8, coeffs.rf,
+                                                    st2, mc.rf_decim)
+            return st2, jnp.sum(y)
+        timings["rf_frontend_u8_pallas_int"] = scan_diff(rf_step_int, rfst)
 
     # 2. FM demod
     def demod_step(st):
@@ -237,10 +252,13 @@ def main() -> None:
         timings["rds_rrc_conv"] = scan_diff(rrc_conv, cst)
 
     dev = jax.devices()[0]
-    chosen = ["u8_norm_deinterleave", "rf_fir_mm", "fm_demod",
-              "bandpass_multi_mm",
-              "pll_fused_pallas" if on_tpu else "pll_fused_scan",
-              "audio_fir_pair_mm"]
+    # default-kernel stage sum: on TPU the fused u8 front-end REPLACES
+    # the normalize+deinterleave pass and the RF matmul
+    chosen = (["rf_frontend_u8_pallas_int"] if on_tpu
+              else ["u8_norm_deinterleave", "rf_fir_mm"])
+    chosen += ["fm_demod", "bandpass_multi_mm",
+               "pll_fused_pallas" if on_tpu else "pll_fused_scan",
+               "audio_fir_pair_mm"]
     if with_rds:
         chosen += ["rds_resampler_mm", "rds_rrc_mm"]
     result = {

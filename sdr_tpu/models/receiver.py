@@ -219,6 +219,22 @@ def _auto_pallas_frontend() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def auto_kernel_selectors() -> dict:
+    """The SINGLE source of truth for default kernel selection.
+
+    Every production path — ``run_blocks_scan`` (and through it
+    ``Receiver``/``channel_sharded_run``), both time-sharding paths, and
+    bench.py — passes exactly these static flags to ``process_block``, so
+    sharded and contiguous runs compile the identical kernels: the
+    precondition for the time-sharding bit-match invariant on the linear
+    arms (parallel/time_shard.py) and asserted by
+    ``__graft_entry__.dryrun_multichip``."""
+    mxu = _auto_mxu_fir()
+    return {"mxu_fir": mxu,
+            "pallas_frontend": _auto_pallas_frontend() and mxu,
+            "pallas_pll": _auto_pallas()}
+
+
 def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   state: ReceiverState, mc: cfg.ModeConfig,
                   stereo: bool = True, with_rds: bool = False,
@@ -489,16 +505,11 @@ def run_blocks_scan(iq_blocks: jnp.ndarray, coeffs: ReceiverCoeffs,
     """
     mc = (mode if isinstance(mode, cfg.ModeConfig)
           else cfg.get_mode_config(mode))
-    use_pallas = _auto_pallas()
-    use_mxu = _auto_mxu_fir()
-    use_pfe = _auto_pallas_frontend() and use_mxu
+    sel = auto_kernel_selectors()
 
     def step(st, iq):
         out, st = process_block(iq, coeffs, st, mc, stereo=stereo,
-                                with_rds=with_rds,
-                                pallas_pll=use_pallas,
-                                mxu_fir=use_mxu,
-                                pallas_frontend=use_pfe)
+                                with_rds=with_rds, **sel)
         return st, out
 
     final_state, outs = lax.scan(step, state, iq_blocks)

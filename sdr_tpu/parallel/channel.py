@@ -26,9 +26,12 @@ def channel_sharded_run(iq_channels: np.ndarray, mesh: Mesh,
                         axis: str = "ch"):
     """Run C independent channels sharded over ``mesh`` axis ``axis``.
 
-    ``iq_channels``: (C, n_samples) normalized interleaved IQ.  C must be a
-    multiple of the mesh axis size.  Returns (BlockOutputs, final_state) with
-    outputs stacked (n_blocks, C, out_len) and every array sharded over C.
+    ``iq_channels``: (C, n_samples) interleaved IQ — normalized float, or
+    RAW uint8 straight off the SDRs (the serving shape: u8 stays u8 so the
+    fused Pallas MXU front-end normalizes on-device and the host->device
+    stream is a quarter of the f32 bytes).  C must be a multiple of the
+    mesh axis size.  Returns (BlockOutputs, final_state) with outputs
+    stacked (n_blocks, C, out_len) and every array sharded over C.
     """
     mc = cfg.get_mode_config(mode)
     with_rds = with_rds and mc.rds is not None
@@ -37,9 +40,10 @@ def channel_sharded_run(iq_channels: np.ndarray, mesh: Mesh,
 
     c, n = iq_channels.shape
     n_blocks = n // block_size
-    blocks = np.moveaxis(
-        iq_channels[:, : n_blocks * block_size]
-        .reshape(c, n_blocks, block_size).astype(np.float32), 1, 0)
+    blocks = iq_channels[:, : n_blocks * block_size]
+    if blocks.dtype != np.uint8:
+        blocks = blocks.astype(np.float32)
+    blocks = np.moveaxis(blocks.reshape(c, n_blocks, block_size), 1, 0)
 
     sharding = NamedSharding(mesh, P(None, axis, None))
     iq_dev = jax.device_put(jnp.asarray(blocks), sharding)

@@ -98,12 +98,10 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
 
     coeffs = rx.design_coeffs(mc)
     # same kernel selection as the contiguous paths (Receiver.run /
-    # run_blocks_scan auto-enable the MXU FIRs + Pallas PLL on TPU):
-    # sharded and contiguous runs must pick IDENTICAL kernels or the
-    # bit-match invariant on the linear arms breaks at the ~2e-5
-    # kernel-vs-kernel level
-    use_pallas = rx._auto_pallas()
-    use_mxu = rx._auto_mxu_fir()
+    # run_blocks_scan): sharded and contiguous runs must pick IDENTICAL
+    # kernels or the bit-match invariant on the linear arms breaks at the
+    # ~2e-5 kernel-vs-kernel level — one shared source of truth
+    sel = rx.auto_kernel_selectors()
 
     # only enabled arms are returned — zero-length placeholders cannot carry
     # a sharded PartitionSpec
@@ -139,9 +137,7 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
 
         def step(st, blk):
             out, st = rx.process_block(blk, coeffs, st, mc, stereo=stereo,
-                                       with_rds=with_rds,
-                                       pallas_pll=use_pallas,
-                                       mxu_fir=use_mxu)
+                                       with_rds=with_rds, **sel)
             return st, {a: out._asdict()[a] for a in arms}
 
         # warm-up scan over the halo blocks (outputs discarded)
@@ -224,8 +220,7 @@ def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
     blocks_per_seg = seg // block_raw
 
     coeffs = rx.design_coeffs(mc)
-    use_pallas = rx._auto_pallas()
-    use_mxu = rx._auto_mxu_fir()
+    sel = rx.auto_kernel_selectors()
     arms = ["fm_demod", "mono"]
     if stereo:
         arms += ["left", "right"]
@@ -245,9 +240,7 @@ def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
     def _scan_blocks(st, blocks):
         def step(c, blk):
             out, c = rx.process_block(blk, coeffs, c, mc, stereo=stereo,
-                                      with_rds=with_rds,
-                                      pallas_pll=use_pallas,
-                                      mxu_fir=use_mxu)
+                                      with_rds=with_rds, **sel)
             return c, {a: out._asdict()[a] for a in arms}
         return lax.scan(step, st, blocks)
 
