@@ -133,7 +133,7 @@ def main() -> None:
 
     on_accel = jax.devices()[0].platform != "cpu"
     sweep = os.environ.get(
-        "SDR_BENCH_SWEEP", "32,128,512,1024" if on_accel else "4,8")
+        "SDR_BENCH_SWEEP", "32,128,256,512,1024" if on_accel else "4,8")
     channel_sweep = [int(c) for c in sweep.split(",") if c]
     modes = [0, 1, 2, 3] if on_accel else [0]
     detail = {"device": jax.devices()[0].device_kind,

@@ -109,7 +109,11 @@ def _channelize_block(iq: jnp.ndarray, h: jnp.ndarray,
     mix_q = q_w[None, :] * c_m - i_w[None, :] * s_m
 
     stacked = jnp.stack([mix_i, mix_q], axis=1)              # (C, 2, N)
-    ds, new_fir = jfir.fir_block_decim(stacked, h, state.fir, decim)
+    # banded-matmul kernel on TPU (same policy as the receiver stages;
+    # bit-comparable outputs), conv elsewhere
+    fir_fn = (jfir.fir_block_decim_mm
+              if jax.default_backend() == "tpu" else jfir.fir_block_decim)
+    ds, new_fir = fir_fn(stacked, h, state.fir, decim)
 
     out = jnp.stack([ds[:, 0, :], ds[:, 1, :]], axis=-1)     # (C, N/D, 2)
     out = out.reshape(ds.shape[0], -1)                       # interleaved

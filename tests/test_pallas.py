@@ -217,11 +217,14 @@ class TestMxuFrontendPallas:
         np.testing.assert_allclose(np.concatenate(parts, -1),
                                    np.asarray(whole), atol=1e-6)
 
-    @pytest.mark.parametrize("n,decim,c", [
-        (57600, 10, 3), (25020, 5, 2), (9600, 3, 1)])
-    def test_interleaved_variant_matches(self, rng, n, decim, c):
+    @pytest.mark.parametrize("n,decim,c,u_blk", [
+        (57600, 10, 3, None), (25020, 5, 2, None), (9600, 3, 1, None),
+        (57600, 10, 2, 128), (57600, 10, 2, 256)])
+    def test_interleaved_variant_matches(self, rng, n, decim, c, u_blk):
         """fir_frontend_u8_pallas_int (interleaved weights, zero relayout)
-        vs the deinterleaved kernel: same weight-split math, ULP-level."""
+        vs the deinterleaved kernel: same weight-split math, ULP-level —
+        including the non-default window block sizes raced on hardware
+        (scripts/ublk_race.py)."""
         from sdr_tpu.ops import pallas_fir_mxu as pfm
         k = 151
         h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
@@ -232,7 +235,28 @@ class TestMxuFrontendPallas:
         y0, s0 = pfm.fir_frontend_u8_pallas(jnp.asarray(u8), h, st32,
                                             decim, interpret=True)
         y1, s1 = pfm.fir_frontend_u8_pallas_int(jnp.asarray(u8), h, st32,
-                                                decim, interpret=True)
+                                                decim, u_blk=u_blk,
+                                                interpret=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+    def test_interleaved_short_block_carries_state(self, rng):
+        """A block shorter than the filter (N < K-1) must fold part of the
+        incoming state into the outgoing tail (ADVICE r3: the tail came
+        from the input bytes alone and crashed/was wrong for short
+        blocks)."""
+        from sdr_tpu.ops import pallas_fir_mxu as pfm
+        k, d, n = 151, 10, 140             # n < k - 1
+        h = jnp.asarray(rng.normal(size=k).astype(np.float32) * 0.05)
+        u8 = rng.integers(0, 256, size=(1, 2 * n), dtype=np.uint8)
+        st = jnp.asarray(
+            rng.integers(-128, 128, size=(1, 2, k - 1)).astype(np.float32)
+            / 128.0)
+        y0, s0 = pfm.fir_frontend_u8_pallas(jnp.asarray(u8), h, st, d,
+                                            interpret=True)
+        y1, s1 = pfm.fir_frontend_u8_pallas_int(jnp.asarray(u8), h, st, d,
+                                                interpret=True)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                    rtol=0, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
