@@ -71,23 +71,28 @@ def main() -> None:
     n_rf = bs // 2
     n_if = n_rf // mc.rf_decim
 
-    def scan_diff(step, state0):
-        """step: (carry) -> (carry, scalar); scan-diff per-step ms."""
+    def scan_diff(step, state0, data=()):
+        """step: (carry, *data) -> (carry, scalar); scan-diff per-step ms.
+
+        ``data`` holds the input arrays as EXPLICIT jit arguments — a
+        closed-over device array is embedded into the serialized program,
+        and the tunneled remote-compile endpoint rejects bodies past a
+        few hundred MB (HTTP 413) at C=1024 f32 shapes."""
         times = {}
         for n in (N1, N2):
             @jax.jit
-            def scan_fn(st):
+            def scan_fn(st, *ds):
                 def body(c, _):
-                    c, s = step(c)
+                    c, s = step(c, *ds)
                     return c, s
                 c, sums = lax.scan(body, st, None, length=n)
                 return jnp.sum(sums)
-            s = float(scan_fn(state0))
+            s = float(scan_fn(state0, *data))
             assert np.isfinite(s), s
             best = float("inf")
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                float(scan_fn(state0))
+                float(scan_fn(state0, *data))
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
         return max(times[N2] - times[N1], 0.0) / (N2 - N1) * 1e3
@@ -96,8 +101,8 @@ def main() -> None:
 
     # --- full fused DAG (the bench's unit), both kernel stacks ------------
     def full_step_factory(**kw):
-        def step(st):
-            out, st = rx.process_block(blk_u8, coeffs, st, mc, stereo=True,
+        def step(st, blk):
+            out, st = rx.process_block(blk, coeffs, st, mc, stereo=True,
                                        with_rds=with_rds, **kw)
             probe = out.rds_symbols if with_rds else out.mono
             return st, jnp.sum(out.left) + jnp.sum(probe)
@@ -105,16 +110,16 @@ def main() -> None:
 
     st0 = rx.init_state(mc, batch_shape=(C,))
     timings["full_dag_mxu"] = scan_diff(
-        full_step_factory(mxu_fir=True, pallas_pll=on_tpu), st0)
+        full_step_factory(mxu_fir=True, pallas_pll=on_tpu), st0, (blk_u8,))
     if on_tpu:
         # the shipped default: mxu FIRs + fused Pallas MXU u8 front-end
         # (fir_frontend_u8_pallas_int, r4 race winner) + Pallas PLL
         timings["full_dag_default_pallas_int"] = scan_diff(
             full_step_factory(mxu_fir=True, pallas_frontend=True,
-                              pallas_pll=True), st0)
+                              pallas_pll=True), st0, (blk_u8,))
         timings["full_dag_r2_pallas_conv"] = scan_diff(
             full_step_factory(pallas_frontend=True, mxu_fir=False,
-                              pallas_pll=True), st0)
+                              pallas_pll=True), st0, (blk_u8,))
 
     # --- stage inputs (device-resident, realistic magnitudes) -------------
     key = jax.random.PRNGKey(0)
@@ -122,75 +127,76 @@ def main() -> None:
     iq2 = jax.random.normal(key, (C, 2, n_rf), jnp.float32) * 0.3
 
     # 0. u8 normalize + deinterleave
-    def u8_step(st):
-        x = (blk_u8.astype(jnp.float32) - 128.0) * jnp.float32(1 / 128.0)
+    def u8_step(st, blk):
+        x = (blk.astype(jnp.float32) - 128.0) * jnp.float32(1 / 128.0)
         return st + 1, jnp.sum(x[..., 0::2]) - jnp.sum(x[..., 1::2])
-    timings["u8_norm_deinterleave"] = scan_diff(u8_step,
-                                                jnp.zeros((), jnp.int32))
+    timings["u8_norm_deinterleave"] = scan_diff(
+        u8_step, jnp.zeros((), jnp.int32), (blk_u8,))
 
     # 1. RF front-end variants (state-chained)
-    def rf_step_mm(st2):
-        y, st2 = jfir.fir_block_decim_mm(iq2, coeffs.rf, st2, mc.rf_decim)
+    def rf_step_mm(st2, x2):
+        y, st2 = jfir.fir_block_decim_mm(x2, coeffs.rf, st2, mc.rf_decim)
         return st2, jnp.sum(y)
     rfst = jnp.zeros((C, 2, mc.rf_taps - 1), jnp.float32)
-    timings["rf_fir_mm"] = scan_diff(rf_step_mm, rfst)
+    timings["rf_fir_mm"] = scan_diff(rf_step_mm, rfst, (iq2,))
 
-    def rf_step_xla(st2):
-        y, st2 = jfir.fir_block_decim(iq2, coeffs.rf, st2, mc.rf_decim)
+    def rf_step_xla(st2, x2):
+        y, st2 = jfir.fir_block_decim(x2, coeffs.rf, st2, mc.rf_decim)
         return st2, jnp.sum(y)
-    timings["rf_fir_xla_conv"] = scan_diff(rf_step_xla, rfst)
+    timings["rf_fir_xla_conv"] = scan_diff(rf_step_xla, rfst, (iq2,))
 
     # 1b. the fused u8 front-end: u8->bf16 normalize + deinterleave +
     # weight-split bf16 matmul as ONE unit (compare against
     # u8_norm_deinterleave + rf_fir_mm, the f32 pipeline it replaces)
-    def rf_step_u8bf16(st2):
-        q2 = jnp.stack([blk_u8[..., 0::2], blk_u8[..., 1::2]], axis=-2)
+    def rf_step_u8bf16(st2, blk):
+        q2 = jnp.stack([blk[..., 0::2], blk[..., 1::2]], axis=-2)
         q2 = ((q2.astype(jnp.bfloat16) - jnp.bfloat16(128.0))
               * jnp.bfloat16(1.0 / 128.0))
         y, st2 = jfir.fir_block_decim_mm_bf16x(q2, coeffs.rf, st2,
                                                mc.rf_decim)
         return st2, jnp.sum(y)
     timings["rf_frontend_u8_bf16x"] = scan_diff(
-        rf_step_u8bf16, rfst.astype(jnp.bfloat16))
+        rf_step_u8bf16, rfst.astype(jnp.bfloat16), (blk_u8,))
 
     if on_tpu:
         from sdr_tpu.ops import pallas_fir
         from sdr_tpu.ops import pallas_fir_mxu as pfm
 
-        def rf_step_pal(st2):
-            y, st2 = pallas_fir.fir_block_decim_pallas(iq2, coeffs.rf, st2,
+        def rf_step_pal(st2, x2):
+            y, st2 = pallas_fir.fir_block_decim_pallas(x2, coeffs.rf, st2,
                                                        mc.rf_decim)
             return st2, jnp.sum(y)
-        timings["rf_fir_pallas"] = scan_diff(rf_step_pal, rfst)
+        timings["rf_fir_pallas"] = scan_diff(rf_step_pal, rfst, (iq2,))
 
         # the DEFAULT front-end: raw u8 in, fused normalize + window +
         # matmul in VMEM (replaces u8_norm_deinterleave + rf matmul)
-        def rf_step_int(st2):
-            y, st2 = pfm.fir_frontend_u8_pallas_int(blk_u8, coeffs.rf,
+        def rf_step_int(st2, blk):
+            y, st2 = pfm.fir_frontend_u8_pallas_int(blk, coeffs.rf,
                                                     st2, mc.rf_decim)
             return st2, jnp.sum(y)
-        timings["rf_frontend_u8_pallas_int"] = scan_diff(rf_step_int, rfst)
+        timings["rf_frontend_u8_pallas_int"] = scan_diff(
+            rf_step_int, rfst, (blk_u8,))
 
     # 2. FM demod
-    def demod_step(st):
-        y, st = jdemod.fm_demod_quad(fm, fm * 0.5, st)
+    def demod_step(st, x):
+        y, st = jdemod.fm_demod_quad(x, x * 0.5, st)
         return st, jnp.sum(y)
-    timings["fm_demod"] = scan_diff(demod_step, jnp.zeros((C, 2)))
+    timings["fm_demod"] = scan_diff(demod_step, jnp.zeros((C, 2)), (fm,))
 
     # 3. three-band BPF variants
     hs3 = (jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel])
            if with_rds else jnp.stack([coeffs.stereo, coeffs.pilot]))
     bst = jnp.zeros((C, hs3.shape[-1] - 1))
 
-    def band_mm(st):
-        y, st = jfir.fir_block_multi_mm(fm, hs3, st)
+    def band_mm(st, x):
+        y, st = jfir.fir_block_multi_mm(x, hs3, st)
         return st, jnp.sum(y)
-    timings["bandpass_multi_mm"] = scan_diff(band_mm, bst)
+    timings["bandpass_multi_mm"] = scan_diff(band_mm, bst, (fm,))
 
-    def band_conv(st):
-        y, st = jfir.fir_block_multi(fm, hs3, st)
+    def band_conv(st, x):
+        y, st = jfir.fir_block_multi(x, hs3, st)
         return st, jnp.sum(y)
-    timings["bandpass_multi_conv"] = scan_diff(band_conv, bst)
+    timings["bandpass_multi_conv"] = scan_diff(band_conv, bst, (fm,))
 
     # 4. fused dual PLL variants
     pll_in = jnp.stack([fm * 0.1, fm * 0.1], axis=-2)
@@ -200,18 +206,19 @@ def main() -> None:
     params2 = (rx.pilot_pll_params(mc), rx.rds_pll_params(mc)) if with_rds \
         else (rx.pilot_pll_params(mc), rx.pilot_pll_params(mc))
 
-    def pll_scan_step(st):
-        nco, _, st = jpll.pll_block_fused(pll_in, st, params2)
+    def pll_scan_step(st, x):
+        nco, _, st = jpll.pll_block_fused(x, st, params2)
         return st, jnp.sum(nco)
-    timings["pll_fused_scan"] = scan_diff(pll_scan_step, pst)
+    timings["pll_fused_scan"] = scan_diff(pll_scan_step, pst, (pll_in,))
 
     if on_tpu:
         from sdr_tpu.ops import pallas_pll as jppll
 
-        def pll_pal_step(st):
-            nco, _, st = jppll.pll_block_fused_pallas(pll_in, st, params2)
+        def pll_pal_step(st, x):
+            nco, _, st = jppll.pll_block_fused_pallas(x, st, params2)
             return st, jnp.sum(nco)
-        timings["pll_fused_pallas"] = scan_diff(pll_pal_step, pst)
+        timings["pll_fused_pallas"] = scan_diff(pll_pal_step, pst,
+                                                (pll_in,))
 
     # 5. audio FIR pair
     pair = jnp.stack([fm, fm], axis=-2)
@@ -220,10 +227,10 @@ def main() -> None:
     ast = jnp.zeros((C, 2, ast_len))
     for label, mxu in (("audio_fir_pair_mm", True),
                        ("audio_fir_pair_conv", False)):
-        def audio_step(st, mxu=mxu):
-            y, st = rx._audio_fir(pair, coeffs.audio, st, mc, mxu)
+        def audio_step(st, x, mxu=mxu):
+            y, st = rx._audio_fir(x, coeffs.audio, st, mc, mxu)
             return st, jnp.sum(y)
-        timings[label] = scan_diff(audio_step, ast)
+        timings[label] = scan_diff(audio_step, ast, (pair,))
 
     if with_rds:
         r = mc.rds
@@ -232,24 +239,24 @@ def main() -> None:
         for label, fn in (("rds_resampler_mm", jfir.fir_block_resample_mm),
                           ("rds_resampler_gather",
                            jfir.fir_block_resample)):
-            def rs_step(st, fn=fn):
-                y, st = fn(fm, coeffs.rds_resampler, st, r.decim, r.upsamp)
+            def rs_step(st, x, fn=fn):
+                y, st = fn(x, coeffs.rds_resampler, st, r.decim, r.upsamp)
                 return st, jnp.sum(y)
-            timings[label] = scan_diff(rs_step, rst)
+            timings[label] = scan_diff(rs_step, rst, (fm,))
 
         n_sym = n_if * r.upsamp // r.decim
         sym_in = jax.random.normal(key, (C, n_sym), jnp.float32)
         cst = jnp.zeros((C, r.rrc_taps - 1))
 
-        def rrc_mm(st):
-            y, st = jfir.fir_block_decim_mm(sym_in, coeffs.rds_rrc, st, 1)
+        def rrc_mm(st, x):
+            y, st = jfir.fir_block_decim_mm(x, coeffs.rds_rrc, st, 1)
             return st, jnp.sum(y)
-        timings["rds_rrc_mm"] = scan_diff(rrc_mm, cst)
+        timings["rds_rrc_mm"] = scan_diff(rrc_mm, cst, (sym_in,))
 
-        def rrc_conv(st):
-            y, st = jfir.fir_block(sym_in, coeffs.rds_rrc, st)
+        def rrc_conv(st, x):
+            y, st = jfir.fir_block(x, coeffs.rds_rrc, st)
             return st, jnp.sum(y)
-        timings["rds_rrc_conv"] = scan_diff(rrc_conv, cst)
+        timings["rds_rrc_conv"] = scan_diff(rrc_conv, cst, (sym_in,))
 
     dev = jax.devices()[0]
     # default-kernel stage sum: on TPU the fused u8 front-end REPLACES

@@ -56,22 +56,24 @@ def main() -> None:
     coeffs = rx.design_coeffs(mc)
     k = int(coeffs.rf.shape[0])
 
-    def scan_diff(step, state0):
+    def scan_diff(step, state0, data=()):
+        # inputs as explicit jit args: closed-over device arrays embed
+        # into the program and trip the remote-compile body cap (HTTP 413)
         times = {}
         for n in (N1, N2):
             @jax.jit
-            def scan_fn(st):
+            def scan_fn(st, *ds):
                 def body(c, _):
-                    c, s = step(c)
+                    c, s = step(c, *ds)
                     return c, s
                 c, sums = lax.scan(body, st, None, length=n)
                 return jnp.sum(sums)
-            s = float(scan_fn(state0))
+            s = float(scan_fn(state0, *data))
             assert np.isfinite(s), s
             best = float("inf")
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                float(scan_fn(state0))
+                float(scan_fn(state0, *data))
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
         return max(times[N2] - times[N1], 0.0) / (N2 - N1) * 1e3
@@ -89,11 +91,11 @@ def main() -> None:
             except ValueError:
                 continue
 
-            def step(st2, u=u_blk):
+            def step(st2, blk, u=u_blk):
                 y, st2 = pfm.fir_frontend_u8_pallas_int(
-                    blk_u8, coeffs.rf, st2, mc.rf_decim, u_blk=u)
+                    blk, coeffs.rf, st2, mc.rf_decim, u_blk=u)
                 return st2, jnp.sum(y)
-            row[str(u_blk)] = round(scan_diff(step, st0), 4)
+            row[str(u_blk)] = round(scan_diff(step, st0, (blk_u8,)), 4)
             print(f"# C={C:5d} u_blk={u_blk:4d}: {row[str(u_blk)]:8.4f} ms",
                   file=sys.stderr)
         result["timings_ms"][str(C)] = row

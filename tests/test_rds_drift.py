@@ -111,7 +111,7 @@ class TestDriftStreaming:
     def test_tracking_resume_exact(self, drifted, tmp_path):
         """state_dict round-trip at an arbitrary block reproduces the
         uninterrupted frame stream exactly (incl. the sample window
-        buffer and the phase hysteresis carry)."""
+        buffer and the timing-loop carry: pos/step/pairing)."""
         symbols, _ = drifted
         sps = cfg.get_mode_config(0).rds.sps
 
