@@ -58,7 +58,12 @@ struct BlockReader {
   int fd;
   int64_t block_size;          // u8 samples per block
   size_t capacity;             // queue bound (ref QUEUE_ELEMS = 6)
-  std::queue<std::vector<float>> queue;
+  // the queue carries RAW bytes: the float consumer API normalizes at
+  // pop (a ~0.1 ms pass, negligible against device block time), and the
+  // raw consumer API hands the bytes straight to the device, where the
+  // fused u8 front-end normalizes in VMEM at a quarter of the
+  // host->device traffic (ops/pallas_fir_mxu)
+  std::queue<std::vector<uint8_t>> queue;
   std::mutex mu;
   std::condition_variable cv_space, cv_data;
   std::atomic<bool> eof{false};
@@ -66,8 +71,8 @@ struct BlockReader {
   std::thread producer;
 
   void run() {
-    std::vector<uint8_t> raw(block_size);
     while (!stop.load()) {
+      std::vector<uint8_t> raw(block_size);
       int64_t got = 0;
       while (got < block_size) {          // full-block read like the ref
         ssize_t r = ::read(fd, raw.data() + got, block_size - got);
@@ -75,20 +80,30 @@ struct BlockReader {
         got += r;
       }
       {
-        std::vector<float> block(block_size);
-        sdr_u8_normalize(raw.data(), block.data(), block_size);
         std::unique_lock<std::mutex> lk(mu);
         cv_space.wait(lk, [&] {
           return queue.size() < capacity || stop.load();
         });
         if (stop.load()) break;
-        queue.push(std::move(block));
+        queue.push(std::move(raw));
       }
       cv_data.notify_one();
     }
   done:
     eof.store(true);
     cv_data.notify_all();
+  }
+
+  bool pop(std::vector<uint8_t>* block) {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_data.wait(lk, [&] { return !queue.empty() || eof.load(); });
+      if (queue.empty()) return false;
+      *block = std::move(queue.front());
+      queue.pop();
+    }
+    cv_space.notify_one();
+    return true;
   }
 };
 
@@ -105,16 +120,19 @@ void* sdr_reader_create(int fd, int64_t block_size, int capacity) {
 // 0 at end of stream.
 int sdr_reader_next(void* handle, float* out) {
   auto* r = static_cast<BlockReader*>(handle);
-  std::vector<float> block;
-  {
-    std::unique_lock<std::mutex> lk(r->mu);
-    r->cv_data.wait(lk, [&] { return !r->queue.empty() || r->eof.load(); });
-    if (r->queue.empty()) return 0;
-    block = std::move(r->queue.front());
-    r->queue.pop();
-  }
-  r->cv_space.notify_one();
-  std::memcpy(out, block.data(), block.size() * sizeof(float));
+  std::vector<uint8_t> block;
+  if (!r->pop(&block)) return 0;
+  sdr_u8_normalize(block.data(), out, static_cast<int64_t>(block.size()));
+  return 1;
+}
+
+// Raw variant: fills `out` with the block's raw u8 bytes (device-side
+// normalization path).  Returns 1 on success, 0 at end of stream.
+int sdr_reader_next_u8(void* handle, uint8_t* out) {
+  auto* r = static_cast<BlockReader*>(handle);
+  std::vector<uint8_t> block;
+  if (!r->pop(&block)) return 0;
+  std::memcpy(out, block.data(), block.size());
   return 1;
 }
 

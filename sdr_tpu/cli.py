@@ -282,13 +282,16 @@ def main(argv=None) -> int:
             args.output, "wb")
 
     # native threaded feed when a real fd is available: the producer thread
-    # reads+normalizes ahead of device compute (the reference's
-    # producer/consumer queue, now host-side only)
+    # reads ahead of device compute (the reference's producer/consumer
+    # queue, now host-side only).  Blocks stay RAW u8 end to end — the
+    # receiver normalizes on-device (bit-identical; quarter the
+    # host->device bytes, and the TPU path's fused u8 front-end needs the
+    # raw bytes to skip every relayout pass)
     try:
         from sdr_tpu import native
-        source = native.BlockReader(in_stream.fileno(), bs)
+        source = native.BlockReader(in_stream.fileno(), bs, raw=True)
     except Exception:
-        source = sio.iter_iq_blocks(in_stream, bs)
+        source = sio.iter_iq_blocks_raw(in_stream, bs)
 
     n_blocks = 0
     t0 = time.time()

@@ -46,11 +46,20 @@ def iter_iq_blocks(stream: BinaryIO, block_size: int) -> Iterator[np.ndarray]:
     """Stream fixed-size normalized IQ blocks from a binary stream; stops at
     EOF, dropping any short tail (src/iofunc.cpp:128-135 contract:
     a short read signals end of stream)."""
+    for raw in iter_iq_blocks_raw(stream, block_size):
+        yield u8_normalize(raw)
+
+
+def iter_iq_blocks_raw(stream: BinaryIO,
+                       block_size: int) -> Iterator[np.ndarray]:
+    """Raw-u8 variant of :func:`iter_iq_blocks`: blocks stay uint8 so the
+    receiver normalizes on-device (bit-identical to host normalization —
+    1/128 is a power of two — at a quarter of the host->device bytes)."""
     while True:
         raw = stream.read(block_size)
         if raw is None or len(raw) < block_size:
             return
-        yield u8_normalize(np.frombuffer(raw, dtype=np.uint8))
+        yield np.frombuffer(raw, dtype=np.uint8)
 
 
 def pcm_quantize(x: np.ndarray) -> np.ndarray:

@@ -42,6 +42,9 @@ def _load() -> ctypes.CDLL:
     lib.sdr_reader_next.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_float)]
     lib.sdr_reader_next.restype = ctypes.c_int
+    lib.sdr_reader_next_u8.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint8)]
+    lib.sdr_reader_next_u8.restype = ctypes.c_int
     lib.sdr_reader_depth.argtypes = [ctypes.c_void_p]
     lib.sdr_reader_depth.restype = ctypes.c_int
     lib.sdr_reader_destroy.argtypes = [ctypes.c_void_p]
@@ -75,22 +78,34 @@ def pcm_quantize(x: np.ndarray) -> np.ndarray:
 class BlockReader:
     """Threaded bounded-queue block feed from a file descriptor.
 
-    The native producer thread reads and normalizes u8 IQ ahead of the
-    consumer (the jitted receiver), mirroring the reference's front-end
-    producer thread + capacity-6 queue (src/project.cpp:141-149).
+    The native producer thread reads u8 IQ ahead of the consumer (the
+    jitted receiver), mirroring the reference's front-end producer
+    thread + capacity-6 queue (src/project.cpp:141-149).  With
+    ``raw=True`` (the TPU serving default) blocks come out as RAW uint8
+    and normalization happens on-device in the fused u8 front-end —
+    a quarter of the host->device bytes; ``raw=False`` yields
+    host-normalized float32 like the reference's consumer saw.
     """
 
-    def __init__(self, fd: int, block_size: int, capacity: int = 6):
+    def __init__(self, fd: int, block_size: int, capacity: int = 6,
+                 raw: bool = False):
         self._block_size = block_size
+        self._raw = raw
         self._handle = _lib.sdr_reader_create(fd, block_size, capacity)
 
     def __iter__(self):
         try:
             while True:
-                out = np.empty(self._block_size, dtype=np.float32)
-                ok = _lib.sdr_reader_next(
-                    self._handle,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                if self._raw:
+                    out = np.empty(self._block_size, dtype=np.uint8)
+                    ok = _lib.sdr_reader_next_u8(
+                        self._handle,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                else:
+                    out = np.empty(self._block_size, dtype=np.float32)
+                    ok = _lib.sdr_reader_next(
+                        self._handle,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
                 if not ok:
                     return
                 yield out

@@ -37,6 +37,22 @@ class TestBlockReader:
         expected = (data[:10 * 4096].astype(np.float32) - 128.0) / 128.0
         np.testing.assert_allclose(np.concatenate(blocks), expected)
 
+    def test_raw_mode_yields_bytes(self, tmp_path):
+        """raw=True (the CLI/TPU serving path) must hand back the exact
+        file bytes as uint8 blocks for on-device normalization."""
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 256, 5 * 2048 + 7, dtype=np.uint8)
+        p = tmp_path / "iq.raw"
+        data.tofile(p)
+        fd = os.open(str(p), os.O_RDONLY)
+        reader = native.BlockReader(fd, 2048, capacity=3, raw=True)
+        blocks = list(reader)
+        os.close(fd)
+        assert len(blocks) == 5
+        assert all(b.dtype == np.uint8 for b in blocks)
+        np.testing.assert_array_equal(np.concatenate(blocks),
+                                      data[:5 * 2048])
+
     def test_pipe_streaming(self):
         """Producer thread keeps reading from a pipe while the consumer is
         slow — the decoupling the reference's queue provided."""
