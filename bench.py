@@ -63,9 +63,13 @@ def _make_scan(rx, mc, coeffs, iq_u8, bs, nb, c, stereo=True,
     @jax.jit
     def scan_fn(blocks, state):
         def step(st, blk):
-            out, st = rx.process_block(
+            # channel_chunk=512: batches past the measured per-channel
+            # sweet spot run as sequential 512-channel programs (falls
+            # through to the direct call at C<=512) — the production
+            # serving configuration for large C
+            out, st = rx.process_block_channel_chunked(
                 blk, coeffs, st, mc, stereo=stereo, with_rds=with_rds,
-                **rx.auto_kernel_selectors())
+                channel_chunk=512, **rx.auto_kernel_selectors())
             probe = out.rds_symbols if with_rds else out.mono
             return st, jnp.sum(out.left) + jnp.sum(probe)
         st, sums = lax.scan(step, state, blocks)
@@ -144,7 +148,9 @@ def main() -> None:
                   f"(t(scan {N2}) - t(scan {N1})) / {N2 - N1}, each scan "
                   "one jitted dispatch ending in a fetched scalar "
                   "(true sync); best of "
-                  f"{REPS}; cancels tunnel dispatch/fetch constants"),
+                  f"{REPS}; cancels tunnel dispatch/fetch constants; "
+                  "C>512 runs channel-chunked (sequential 512-channel "
+                  "programs, receiver.process_block_channel_chunked)"),
               "aggregate_sweep": [], "modes": {}}
     t_wall = time.time()
 

@@ -441,6 +441,48 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
     return out, new_state
 
 
+def process_block_channel_chunked(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
+                                  state: ReceiverState, mc: cfg.ModeConfig,
+                                  stereo: bool = True,
+                                  with_rds: bool = False,
+                                  channel_chunk: int = 512,
+                                  **kernel_kw
+                                  ) -> tuple[BlockOutputs, ReceiverState]:
+    """``process_block`` over a large channel batch as SEQUENTIAL
+    sub-batches of ``channel_chunk`` channels (``lax.map``).
+
+    Per-channel block cost is measured lowest at C~512 and rises ~40% by
+    C=1024 (the XLA band/audio matmuls and the PLL kernel fall off their
+    tiling sweet spots — docs/profile_stages_c1024.json), so a C=1024
+    batch runs faster as two 512-channel programs back to back: one
+    compiled body, reused per chunk.  Per-channel outputs equal the
+    direct call up to batch-size-dependent matmul accumulation roundoff
+    (XLA may vectorize the contraction differently at different batch
+    sizes; the raw-byte state tails are bit-identical), so locked-PLL
+    outputs agree to ~1e-4 and the streaming contract is unchanged.
+    Falls through to ``process_block`` when the batch is not a whole
+    number (>1) of chunks.  The leading batch dim must be 1-D (C,).
+    """
+    lead = iq.shape[:-1]
+    if len(lead) != 1 or lead[0] <= channel_chunk \
+            or lead[0] % channel_chunk:
+        return process_block(iq, coeffs, state, mc, stereo=stereo,
+                             with_rds=with_rds, **kernel_kw)
+    c = lead[0]
+    k = c // channel_chunk
+    split = lambda a: a.reshape((k, channel_chunk) + a.shape[1:])
+    join = lambda a: a.reshape((c,) + a.shape[2:])
+
+    def body(args):
+        iq_k, st_k = args
+        return process_block(iq_k, coeffs, st_k, mc, stereo=stereo,
+                             with_rds=with_rds, **kernel_kw)
+
+    outs, new_state = lax.map(
+        body, (split(iq), jax.tree.map(split, state)))
+    return jax.tree.map(join, outs), jax.tree.map(join, new_state)
+
+
 # ModeConfig is a frozen (hashable) dataclass: it IS the static jit key, so
 # custom configs (cfg.custom_mode) compile distinct programs correctly.
 # The state pytree is DONATED: every caller chains it (out state replaces

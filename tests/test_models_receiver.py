@@ -212,6 +212,60 @@ class TestChannelBatch:
             np.testing.assert_allclose(outb.mono[row], out.mono, atol=1e-5)
 
 
+class TestChannelChunked:
+    def test_chunked_equals_direct(self):
+        """process_block_channel_chunked splits a (C,) batch into
+        sequential sub-batches through ONE compiled body.  Contract: the
+        raw-input state tails are bit-identical; outputs agree to matmul
+        accumulation roundoff (XLA vectorizes contraction differently by
+        batch size), which post-PLL-lock stays ~1e-4."""
+        import jax
+        import jax.numpy as jnp
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(True)
+        res = synth.synthesize_fm(duration_s=0.2, mode=0, seed=3,
+                                  with_rds=True)
+        c = 6
+        iq0 = jnp.asarray(np.stack([np.roll(res.iq_u8[:bs], 13 * r)
+                                    for r in range(c)]))
+        iq1 = jnp.asarray(np.stack(
+            [np.roll(res.iq_u8[bs:2 * bs], 13 * r) for r in range(c)]))
+        coeffs = trx.design_coeffs(mc)
+        kw = dict(stereo=True, with_rds=True)
+        # block 0 warms the PLLs (direct path for both runs)
+        _, warm = trx.process_block(
+            iq0, coeffs, trx.init_state(mc, batch_shape=(c,)), mc, **kw)
+        o1, s1 = trx.process_block(iq1, coeffs, warm, mc, **kw)
+        o2, s2 = trx.process_block_channel_chunked(
+            iq1, coeffs, warm, mc, channel_chunk=3, **kw)
+        np.testing.assert_allclose(np.asarray(o1.left),
+                                   np.asarray(o2.left), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(o1.rds_symbols),
+                                   np.asarray(o2.rds_symbols), atol=1e-3)
+        # overlap-save tails are input bytes: bit-identical
+        np.testing.assert_array_equal(np.asarray(s1.rf_i),
+                                      np.asarray(s2.rf_i))
+        np.testing.assert_array_equal(np.asarray(s1.stereo_bpf.shape),
+                                      np.asarray(s2.stereo_bpf.shape))
+
+    def test_fallthrough_shapes(self):
+        """Non-multiple and small batches fall through to the direct
+        path (same results, no error)."""
+        import jax.numpy as jnp
+        mc = cfg.get_mode_config(0)
+        bs = mc.default_block_size(False)
+        rng = np.random.default_rng(0)
+        iq = jnp.asarray(rng.integers(0, 256, (5, bs), dtype=np.uint8))
+        coeffs = trx.design_coeffs(mc)
+        st = trx.init_state(mc, batch_shape=(5,))
+        o1, _ = trx.process_block(iq, coeffs, st, mc, stereo=True)
+        o2, _ = trx.process_block_channel_chunked(iq, coeffs, st, mc,
+                                                  stereo=True,
+                                                  channel_chunk=3)
+        np.testing.assert_array_equal(np.asarray(o1.left),
+                                      np.asarray(o2.left))
+
+
 class TestRdsEndToEnd:
     def test_mode2_rds_decodes(self):
         """Mode 2: rational audio resampling (147/800) and the SPS=43 RDS
