@@ -116,8 +116,11 @@ def main() -> None:
     from sdr_tpu.utils.device import accelerator_healthy
 
     # the dev chip's tunnel sometimes hangs indefinitely, which would leave
-    # the driver with no benchmark result at all — fall back to CPU then
-    if not accelerator_healthy(attempts=3):
+    # the driver with no benchmark result at all — fall back to CPU then.
+    # SDR_TPU_NO_PROBE skips the probe AND the fallback (TPU-or-hang, for
+    # queued runs wrapped in a hard timeout that retry instead)
+    if not os.environ.get("SDR_TPU_NO_PROBE") \
+            and not accelerator_healthy(attempts=3):
         # must happen before the backend initializes in THIS process
         jax.config.update("jax_platforms", "cpu")
         print("# accelerator unreachable; benchmarking on CPU fallback",

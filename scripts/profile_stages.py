@@ -98,6 +98,18 @@ def main() -> None:
         return max(times[N2] - times[N1], 0.0) / (N2 - N1) * 1e3
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def measure(label, step, state0, data=()):
+        """A stage that fails to compile records its error instead of
+        killing the whole profile (e.g. the legacy VPU Pallas FIR OOMs
+        Mosaic VMEM at mode-3 shapes — an honest per-variant datum)."""
+        try:
+            timings[label] = scan_diff(step, state0, data)
+        except Exception as e:
+            errors[label] = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"# stage {label} FAILED: {errors[label][:120]}",
+                  file=sys.stderr)
 
     # --- full fused DAG (the bench's unit), both kernel stacks ------------
     def full_step_factory(**kw):
@@ -109,15 +121,15 @@ def main() -> None:
         return step
 
     st0 = rx.init_state(mc, batch_shape=(C,))
-    timings["full_dag_mxu"] = scan_diff(
+    measure("full_dag_mxu", 
         full_step_factory(mxu_fir=True, pallas_pll=on_tpu), st0, (blk_u8,))
     if on_tpu:
         # the shipped default: mxu FIRs + fused Pallas MXU u8 front-end
         # (fir_frontend_u8_pallas_int, r4 race winner) + Pallas PLL
-        timings["full_dag_default_pallas_int"] = scan_diff(
+        measure("full_dag_default_pallas_int", 
             full_step_factory(mxu_fir=True, pallas_frontend=True,
                               pallas_pll=True), st0, (blk_u8,))
-        timings["full_dag_r2_pallas_conv"] = scan_diff(
+        measure("full_dag_r2_pallas_conv", 
             full_step_factory(pallas_frontend=True, mxu_fir=False,
                               pallas_pll=True), st0, (blk_u8,))
 
@@ -130,7 +142,7 @@ def main() -> None:
     def u8_step(st, blk):
         x = (blk.astype(jnp.float32) - 128.0) * jnp.float32(1 / 128.0)
         return st + 1, jnp.sum(x[..., 0::2]) - jnp.sum(x[..., 1::2])
-    timings["u8_norm_deinterleave"] = scan_diff(
+    measure("u8_norm_deinterleave", 
         u8_step, jnp.zeros((), jnp.int32), (blk_u8,))
 
     # 1. RF front-end variants (state-chained)
@@ -138,12 +150,12 @@ def main() -> None:
         y, st2 = jfir.fir_block_decim_mm(x2, coeffs.rf, st2, mc.rf_decim)
         return st2, jnp.sum(y)
     rfst = jnp.zeros((C, 2, mc.rf_taps - 1), jnp.float32)
-    timings["rf_fir_mm"] = scan_diff(rf_step_mm, rfst, (iq2,))
+    measure("rf_fir_mm", rf_step_mm, rfst, (iq2,))
 
     def rf_step_xla(st2, x2):
         y, st2 = jfir.fir_block_decim(x2, coeffs.rf, st2, mc.rf_decim)
         return st2, jnp.sum(y)
-    timings["rf_fir_xla_conv"] = scan_diff(rf_step_xla, rfst, (iq2,))
+    measure("rf_fir_xla_conv", rf_step_xla, rfst, (iq2,))
 
     # 1b. the fused u8 front-end: u8->bf16 normalize + deinterleave +
     # weight-split bf16 matmul as ONE unit (compare against
@@ -155,7 +167,7 @@ def main() -> None:
         y, st2 = jfir.fir_block_decim_mm_bf16x(q2, coeffs.rf, st2,
                                                mc.rf_decim)
         return st2, jnp.sum(y)
-    timings["rf_frontend_u8_bf16x"] = scan_diff(
+    measure("rf_frontend_u8_bf16x", 
         rf_step_u8bf16, rfst.astype(jnp.bfloat16), (blk_u8,))
 
     if on_tpu:
@@ -166,7 +178,7 @@ def main() -> None:
             y, st2 = pallas_fir.fir_block_decim_pallas(x2, coeffs.rf, st2,
                                                        mc.rf_decim)
             return st2, jnp.sum(y)
-        timings["rf_fir_pallas"] = scan_diff(rf_step_pal, rfst, (iq2,))
+        measure("rf_fir_pallas", rf_step_pal, rfst, (iq2,))
 
         # the DEFAULT front-end: raw u8 in, fused normalize + window +
         # matmul in VMEM (replaces u8_norm_deinterleave + rf matmul)
@@ -174,14 +186,14 @@ def main() -> None:
             y, st2 = pfm.fir_frontend_u8_pallas_int(blk, coeffs.rf,
                                                     st2, mc.rf_decim)
             return st2, jnp.sum(y)
-        timings["rf_frontend_u8_pallas_int"] = scan_diff(
+        measure("rf_frontend_u8_pallas_int", 
             rf_step_int, rfst, (blk_u8,))
 
     # 2. FM demod
     def demod_step(st, x):
         y, st = jdemod.fm_demod_quad(x, x * 0.5, st)
         return st, jnp.sum(y)
-    timings["fm_demod"] = scan_diff(demod_step, jnp.zeros((C, 2)), (fm,))
+    measure("fm_demod", demod_step, jnp.zeros((C, 2)), (fm,))
 
     # 3. three-band BPF variants
     hs3 = (jnp.stack([coeffs.stereo, coeffs.pilot, coeffs.rds_channel])
@@ -191,12 +203,12 @@ def main() -> None:
     def band_mm(st, x):
         y, st = jfir.fir_block_multi_mm(x, hs3, st)
         return st, jnp.sum(y)
-    timings["bandpass_multi_mm"] = scan_diff(band_mm, bst, (fm,))
+    measure("bandpass_multi_mm", band_mm, bst, (fm,))
 
     def band_conv(st, x):
         y, st = jfir.fir_block_multi(x, hs3, st)
         return st, jnp.sum(y)
-    timings["bandpass_multi_conv"] = scan_diff(band_conv, bst, (fm,))
+    measure("bandpass_multi_conv", band_conv, bst, (fm,))
 
     # 4. fused dual PLL variants
     pll_in = jnp.stack([fm * 0.1, fm * 0.1], axis=-2)
@@ -209,7 +221,7 @@ def main() -> None:
     def pll_scan_step(st, x):
         nco, _, st = jpll.pll_block_fused(x, st, params2)
         return st, jnp.sum(nco)
-    timings["pll_fused_scan"] = scan_diff(pll_scan_step, pst, (pll_in,))
+    measure("pll_fused_scan", pll_scan_step, pst, (pll_in,))
 
     if on_tpu:
         from sdr_tpu.ops import pallas_pll as jppll
@@ -217,7 +229,7 @@ def main() -> None:
         def pll_pal_step(st, x):
             nco, _, st = jppll.pll_block_fused_pallas(x, st, params2)
             return st, jnp.sum(nco)
-        timings["pll_fused_pallas"] = scan_diff(pll_pal_step, pst,
+        measure("pll_fused_pallas", pll_pal_step, pst,
                                                 (pll_in,))
 
     # 5. audio FIR pair
@@ -230,7 +242,7 @@ def main() -> None:
         def audio_step(st, x, mxu=mxu):
             y, st = rx._audio_fir(x, coeffs.audio, st, mc, mxu)
             return st, jnp.sum(y)
-        timings[label] = scan_diff(audio_step, ast, (pair,))
+        measure(label, audio_step, ast, (pair,))
 
     if with_rds:
         r = mc.rds
@@ -242,7 +254,7 @@ def main() -> None:
             def rs_step(st, x, fn=fn):
                 y, st = fn(x, coeffs.rds_resampler, st, r.decim, r.upsamp)
                 return st, jnp.sum(y)
-            timings[label] = scan_diff(rs_step, rst, (fm,))
+            measure(label, rs_step, rst, (fm,))
 
         n_sym = n_if * r.upsamp // r.decim
         sym_in = jax.random.normal(key, (C, n_sym), jnp.float32)
@@ -251,12 +263,12 @@ def main() -> None:
         def rrc_mm(st, x):
             y, st = jfir.fir_block_decim_mm(x, coeffs.rds_rrc, st, 1)
             return st, jnp.sum(y)
-        timings["rds_rrc_mm"] = scan_diff(rrc_mm, cst, (sym_in,))
+        measure("rds_rrc_mm", rrc_mm, cst, (sym_in,))
 
         def rrc_conv(st, x):
             y, st = jfir.fir_block(x, coeffs.rds_rrc, st)
             return st, jnp.sum(y)
-        timings["rds_rrc_conv"] = scan_diff(rrc_conv, cst, (sym_in,))
+        measure("rds_rrc_conv", rrc_conv, cst, (sym_in,))
 
     dev = jax.devices()[0]
     # default-kernel stage sum: on TPU the fused u8 front-end REPLACES
@@ -281,6 +293,8 @@ def main() -> None:
         "note": ("stage_sum uses the DAG's default kernel choices; "
                  "full_dag < stage_sum = XLA fusion gain"),
     }
+    if errors:
+        result["stage_errors"] = errors
     print(json.dumps(result, indent=2))
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
