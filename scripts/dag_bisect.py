@@ -138,11 +138,49 @@ def main() -> None:
             return st, s
         return step
 
+    # --- fine rungs inside the stereo arm: replicate process_block's
+    # stereo fragments so consecutive deltas attribute the arm's glue
+    # (PLL input stack / NCO materialization / mixer+audio relayouts)
+    from sdr_tpu.ops import pll as jpll
+    if sel["pallas_pll"]:
+        from sdr_tpu.ops import pallas_pll as jppll
+        pll_single = jppll.pll_block_pallas
+    else:
+        pll_single = jpll.pll_block
+
+    def demod_allpass(st, blk):
+        st, ds2 = _frontend(st, blk)
+        fm, d_iq = jdemod.fm_demod_quad(ds2[..., 0, :], ds2[..., 1, :],
+                                        st.demod_iq)
+        fm_delayed, ap = jfir.allpass_delay(fm, st.mono_allpass)
+        st = st._replace(demod_iq=d_iq, mono_allpass=ap)
+        return st, fm, fm_delayed
+
+    def bands(st, blk):
+        st, fm, fm_delayed = demod_allpass(st, blk)
+        hs = jnp.stack([coeffs.stereo, coeffs.pilot])
+        filt2, tail = jfir.fir_block_multi_mm(fm, hs, st.stereo_bpf)
+        st = st._replace(stereo_bpf=tail, pilot_bpf=tail)
+        return st, fm_delayed, filt2[..., 0, :], filt2[..., 1, :]
+
+    def rung_bands(st, blk):
+        st, fmd, st_filt, pi_filt = bands(st, blk)
+        return st, jnp.sum(st_filt) + jnp.sum(pi_filt) + jnp.sum(fmd)
+
+    def rung_pll(st, blk):
+        st, fmd, st_filt, pi_filt = bands(st, blk)
+        nco, _, pst = pll_single(pi_filt, st.pilot_pll,
+                                 rx.pilot_pll_params(mc))
+        st = st._replace(pilot_pll=pst)
+        return st, jnp.sum(nco) + jnp.sum(st_filt) + jnp.sum(fmd)
+
     st0 = rx.init_state(mc, batch_shape=(C,))
     rungs = [
         ("1_frontend", fe_only),
         ("2_plus_demod", fe_demod),
         ("3_mono_only_dag", make_pb(False, False)),
+        ("4a_plus_bands", rung_bands),
+        ("4b_plus_pilot_pll", rung_pll),
         ("4_stereo_dag", make_pb(True, False)),
     ]
     if with_rds:
@@ -167,7 +205,10 @@ def main() -> None:
         "methodology": (f"scan-difference ladder: cumulative sub-DAGs, "
                         f"(t(scan {N2}) - t(scan {N1})) / {N2 - N1}, "
                         f"best of {REPS}; consecutive deltas attribute "
-                        "block time IN CONTEXT (fusion included)"),
+                        "block time IN CONTEXT (fusion included); note "
+                        "4a/4b extend rung 2+allpass (no mono audio FIR, "
+                        "which rung 3 shows ~free), so 3->4a mixes a tiny "
+                        "removal with the band add"),
         "cumulative_ms": timings,
         "delta_ms": deltas,
     }
