@@ -117,10 +117,14 @@ def main() -> None:
 
     # the dev chip's tunnel sometimes hangs indefinitely, which would leave
     # the driver with no benchmark result at all — fall back to CPU then.
-    # SDR_TPU_NO_PROBE skips the probe AND the fallback (TPU-or-hang, for
-    # queued runs wrapped in a hard timeout that retry instead)
+    # The tunnel flaps on a scale of MINUTES (CLAUDE.md), so the retry
+    # window must span minutes: 6 attempts with 45 s backoff ≈ up to
+    # ~4 min of waiting (plus per-attempt probe time) before surrendering
+    # the number of record to a CPU run.  SDR_TPU_NO_PROBE skips the probe
+    # AND the fallback (TPU-or-hang, for queued runs wrapped in a hard
+    # timeout that retry instead).
     if not os.environ.get("SDR_TPU_NO_PROBE") \
-            and not accelerator_healthy(attempts=3):
+            and not accelerator_healthy(attempts=6, backoff_s=45.0):
         # must happen before the backend initializes in THIS process
         jax.config.update("jax_platforms", "cpu")
         print("# accelerator unreachable; benchmarking on CPU fallback",
@@ -257,15 +261,24 @@ def main() -> None:
     detail["headline_msps"] = round(headline, 1)
     detail["headline_channels"] = agg_best_c if agg_best > single_msps else 1
     detail["bench_wall_s"] = round(total_s, 1)
+    # A CPU-fallback run must never clobber the TPU measurement of record
+    # (VERDICT r4 #1): the fallback writes its own artifact file.
+    platform = jax.devices()[0].platform
+    detail_name = ("BENCH_DETAIL.json" if platform != "cpu"
+                   else "BENCH_DETAIL_cpu.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(detail, f, indent=2)
 
+    # platform/device ride in the one-line record so a CPU fallback can
+    # never masquerade as a TPU number (VERDICT r4 #1)
     print(json.dumps({
         "metric": "stereo_rds_sustained_iq_throughput",
         "value": round(headline, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(headline / BASELINE_MSPS, 1),
+        "platform": platform,
+        "device": jax.devices()[0].device_kind,
     }))
     print(f"# device={jax.devices()[0].device_kind} block={bs} | "
           f"best aggregate {agg_best:.0f} MS/s at C={agg_best_c} | "

@@ -20,13 +20,18 @@ _PROBE = "import jax, jax.numpy as jnp; print(jnp.ones(2).sum())"
 
 
 def accelerator_healthy(timeout_s: float = 120.0,
-                        attempts: int = 2) -> bool:
+                        attempts: int = 2,
+                        backoff_s: float = 0.0) -> bool:
     """True when the default jax backend initializes and runs one op.
 
-    Tunneled backends flap on a timescale of seconds — one probe can hang
-    while the next connects in under ten — so retry before declaring the
-    accelerator unreachable."""
-    for _ in range(attempts):
+    Tunneled backends flap on a timescale of seconds-to-minutes — one
+    probe can hang while the next connects in under ten — so retry before
+    declaring the accelerator unreachable.  ``backoff_s`` sleeps between
+    failed attempts so the retry window can span the minutes-scale flaps
+    (a failed probe itself only burns time when the tunnel hangs; when it
+    refuses fast, backoff is what stretches the window)."""
+    import time as _time
+    for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE],
                                timeout=timeout_s, capture_output=True)
@@ -34,6 +39,8 @@ def accelerator_healthy(timeout_s: float = 120.0,
                 return True
         except subprocess.TimeoutExpired:
             pass
+        if backoff_s and i + 1 < attempts:
+            _time.sleep(backoff_s)
     return False
 
 
