@@ -170,6 +170,31 @@ def init_state(mc: cfg.ModeConfig, batch_shape: tuple[int, ...] = (),
     )
 
 
+def validate_u8_rf_state(rf_i, rf_q) -> None:
+    """Host-side guard for the u8 state-dtype contract (VERDICT r4 #4).
+
+    The u8 + ``mxu_fir`` front-ends reconstruct the carried RF tail as
+    raw bytes via ``round(state * 128)`` (ops/pallas_fir_mxu.py), which
+    is lossless ONLY when every tail value is k/128 for integer k in
+    [-128, 128) — i.e. the state came from the u8 path or the zero init.
+    Raises ValueError when a float-produced tail would be silently
+    quantized.  Call with concrete (host) arrays — e.g. at checkpoint
+    load (sdr_tpu.checkpoint.load) or before injecting an externally
+    produced state into a raw-u8 run.
+    """
+    for name, tail in (("rf_i", rf_i), ("rf_q", rf_q)):
+        t = np.asarray(tail, np.float64) * 128.0
+        if not (np.all(t == np.round(t)) and np.all(np.abs(t) <= 128)):
+            bad = float(np.max(np.abs(t - np.round(t))))
+            raise ValueError(
+                f"RF tail state '{name}' is not 1/128-quantized (max "
+                f"fractional residue {bad:.3g}/128): it was produced from "
+                "float input, so resuming with raw-u8 input would "
+                "silently quantize it (process_block state-dtype "
+                "contract).  Feed float input, or re-create the state "
+                "from the u8 path.")
+
+
 def pilot_pll_params(mc: cfg.ModeConfig) -> jpll.PllParams:
     """Stereo pilot PLL: 19 kHz, x2 NCO, BW 0.01 (src/project.cpp:237)."""
     return jpll.PllParams(freq=cfg.PILOT_FREQ_HZ, fs=mc.if_fs, nco_scale=2.0,
@@ -376,32 +401,67 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                                               coeffs.rds_carrier,
                                               s.rds_carrier)
 
-    if pallas_pll:
+    if pallas_pll and not rds_debug_q and (stereo or rds_on):
+        # fully fused PLL + NCO trig + mixer kernel (r5): the NCO arrays
+        # never materialize in HBM — the kernel takes each arm's mixer
+        # operand lane-aligned with its PLL input and returns the finished
+        # mixer products (docs/dag_bisect.json attributed ~0.3 ms of the
+        # C=512 block to exactly this glue).  The debug-Q arm needs the
+        # full quadrature NCO, so it falls through to the unfused path.
         from sdr_tpu.ops import pallas_pll as jppll
-        fused_fn, single_fn = (jppll.pll_block_fused_pallas,
-                               jppll.pll_block_pallas)
-    else:
-        fused_fn, single_fn = jpll.pll_block_fused, jpll.pll_block
-    if stereo and rds_on:
-        pll_in = jnp.stack([pi_filt, carrier], axis=-2)       # (..., 2, N)
-        pll_st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
-                              s.pilot_pll, s.rds_pll)
-        ncos, ncos_q, pll_out = fused_fn(
-            pll_in, pll_st, (pilot_pll_params(mc), rds_pll_params(mc)))
-        nco, nco_r = ncos[..., 0, :], ncos[..., 1, :]
-        nco_rq = ncos_q[..., 1, :]
-        upd["pilot_pll"] = jax.tree.map(lambda l: l[..., 0], pll_out)
-        upd["rds_pll"] = jax.tree.map(lambda l: l[..., 1], pll_out)
-    else:
+        ins, mixes, pars, sts, names = [], [], [], [], []
         if stereo:
-            nco, _, upd["pilot_pll"] = single_fn(pi_filt, s.pilot_pll,
-                                                 pilot_pll_params(mc))
+            ins.append(pi_filt)
+            mixes.append(st_filt)
+            pars.append(pilot_pll_params(mc))
+            sts.append(s.pilot_pll)
+            names.append("pilot_pll")
         if rds_on:
-            nco_r, nco_rq, upd["rds_pll"] = single_fn(
-                carrier, s.rds_pll, rds_pll_params(mc))
+            ins.append(carrier)
+            mixes.append(chan_delayed)
+            pars.append(rds_pll_params(mc))
+            sts.append(s.rds_pll)
+            names.append("rds_pll")
+        pll_st = jax.tree.map(lambda *ls: jnp.stack(ls, axis=-1), *sts)
+        mixers, pll_out = jppll.pll_mixer_fused_pallas(
+            jnp.stack(ins, axis=-2), jnp.stack(mixes, axis=-2), pll_st,
+            tuple(pars))
+        for i, name in enumerate(names):
+            upd[name] = jax.tree.map(lambda l: l[..., i], pll_out)
+        if stereo:
+            mixer = mixers[..., 0, :]
+        if rds_on:
+            rds_mixer = mixers[..., len(names) - 1, :]
+    else:
+        if pallas_pll:
+            from sdr_tpu.ops import pallas_pll as jppll
+            fused_fn, single_fn = (jppll.pll_block_fused_pallas,
+                                   jppll.pll_block_pallas)
+        else:
+            fused_fn, single_fn = jpll.pll_block_fused, jpll.pll_block
+        if stereo and rds_on:
+            pll_in = jnp.stack([pi_filt, carrier], axis=-2)   # (..., 2, N)
+            pll_st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                                  s.pilot_pll, s.rds_pll)
+            ncos, ncos_q, pll_out = fused_fn(
+                pll_in, pll_st, (pilot_pll_params(mc), rds_pll_params(mc)))
+            nco, nco_r = ncos[..., 0, :], ncos[..., 1, :]
+            nco_rq = ncos_q[..., 1, :]
+            upd["pilot_pll"] = jax.tree.map(lambda l: l[..., 0], pll_out)
+            upd["rds_pll"] = jax.tree.map(lambda l: l[..., 1], pll_out)
+        else:
+            if stereo:
+                nco, _, upd["pilot_pll"] = single_fn(pi_filt, s.pilot_pll,
+                                                     pilot_pll_params(mc))
+            if rds_on:
+                nco_r, nco_rq, upd["rds_pll"] = single_fn(
+                    carrier, s.rds_pll, rds_pll_params(mc))
+        if stereo:
+            mixer = nco[..., :-1] * st_filt * 2.0
+        if rds_on:
+            rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
 
     if stereo:
-        mixer = nco[..., :-1] * st_filt * 2.0
         # mono + stereo share the audio LPF/resampler: one batched call
         # (stacked on a new leading axis) instead of two
         pair = jnp.stack([fm_delayed, mixer], axis=-2)
@@ -416,7 +476,6 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         left = right = empty
 
     if rds_on:
-        rds_mixer = nco_r[..., :-1] * chan_delayed * 2.0
         resampled, upd["rds_resampler"] = fb_resamp(
             rds_mixer, coeffs.rds_resampler, s.rds_resampler,
             r.decim, r.upsamp)

@@ -52,13 +52,33 @@ class TestFirDecimPallas:
 
     def test_auto_tiles_bounded(self):
         """The (batch tile, lane tile) choice stays inside the VMEM budget
-        at any batch size (the round-1 kernel fell back past ~128ch)."""
+        at any batch size (the round-1 kernel fell back past ~128ch) AND
+        at any unroll depth r_rows — small-decim modes unroll
+        ceil(taps/decim) live FMA temps (51 at mode 3's rf_decim=3),
+        which the pre-r5 formula ignored and Mosaic OOMed on (VERDICT r4
+        #6)."""
         for b in (8, 256, 2048, 8192):
             for d_pad in (8, 16):
-                bt, tile = pallas_fir._auto_tiles(b, d_pad)
-                lanes = 3 * tile + 3 * pallas_fir._HALO
-                assert bt * d_pad * 4 * lanes <= pallas_fir._VMEM_BUDGET_BYTES
-                assert bt % 8 == 0 and tile % 128 == 0 and bt <= b
+                for r_rows in (16, 31, 51):
+                    bt, tile = pallas_fir._auto_tiles(b, d_pad, r_rows)
+                    per_row = 4 * (d_pad * (3 * tile + 3 * pallas_fir._HALO)
+                                   + (r_rows + 1) * tile)
+                    assert bt * per_row <= pallas_fir._VMEM_BUDGET_BYTES \
+                        or bt == 8       # floor for tiny budgets
+                    assert bt % 8 == 0 and tile % 128 == 0 and bt <= b
+
+    def test_mode3_shapes_compile(self):
+        """The mode-3 RF shape (rf_decim=3 -> r_rows=51) must run through
+        the VPU Pallas FIR (interpret mode here; the r5 TPU check compiled
+        and ran all four modes at C=512 on v5e)."""
+        import jax.numpy as jnp
+        from sdr_tpu import config as cfg
+        mc = cfg.get_mode_config(3)
+        n = 9600
+        x = jnp.zeros((4, 2, n + mc.rf_taps - 1), jnp.float32)
+        h = jnp.zeros((mc.rf_taps,), jnp.float32)
+        y = pallas_fir.fir_decim_pallas(x, h, mc.rf_decim, interpret=True)
+        assert y.shape == (4, 2, n // mc.rf_decim)
 
     def test_streaming_state_chain(self, rng):
         """Block-to-block state carry equals one contiguous pass."""
@@ -131,6 +151,59 @@ class TestPllPallas:
                                           jpll.pll_init(), p1,
                                           interpret=True)
         np.testing.assert_array_equal(np.asarray(si), np.asarray(pi1))
+
+    def test_mixer_fused_bit_identical(self):
+        """pll_mixer_fused_pallas == pll_block_fused + nco[:-1]*mix*2,
+        bitwise (interpret mode), including the carried state across a
+        chain of blocks (the nco_last/nco_q_last handoff at tile AND
+        block boundaries is the subtle part)."""
+        import jax
+        from sdr_tpu.ops import pll as jpll
+        from sdr_tpu.ops import pallas_pll as ppll
+        p1, p2 = self._params()
+        rng = np.random.default_rng(21)
+        fs = p1.fs
+        t = np.arange(5760) / fs
+        x1 = 0.4 * np.sin(2 * np.pi * 19010 * t) + 0.02 * rng.standard_normal(5760)
+        x2 = 0.1 * np.sin(2 * np.pi * 113985 * t) + 0.02 * rng.standard_normal(5760)
+        x = jnp.stack([jnp.asarray(x1, jnp.float32),
+                       jnp.asarray(x2, jnp.float32)], axis=-2)
+        mix = jnp.asarray(rng.standard_normal((2, 5760)), jnp.float32)
+        st = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=-1),
+                          jpll.pll_init(), jpll.pll_init(nco_q_last=1.0))
+        sa = sb = st
+        for b in range(3):
+            sl = slice(b * 1920, (b + 1) * 1920)
+            ia, _, sa = jpll.pll_block_fused(x[..., sl], sa, (p1, p2))
+            want = ia[..., :-1] * mix[..., sl] * 2.0
+            got, sb = ppll.pll_mixer_fused_pallas(
+                x[..., sl], mix[..., sl], sb, (p1, p2), interpret=True)
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+            for f in sa._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sa, f)), np.asarray(getattr(sb, f)),
+                    err_msg=f)
+
+    def test_mixer_fused_batched_single_arm(self):
+        """K=1 (stereo-only modes) with a channel batch; non-multiple-of-
+        tile lengths exercise the partial final tile."""
+        import jax
+        from sdr_tpu.ops import pll as jpll
+        from sdr_tpu.ops import pallas_pll as ppll
+        p1, _ = self._params()
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.standard_normal((3, 1, 1000)), jnp.float32)
+        mix = jnp.asarray(rng.standard_normal((3, 1, 1000)), jnp.float32)
+        st = jax.tree.map(lambda l: jnp.broadcast_to(l, (3, 1)),
+                          jpll.pll_init())
+        ia, _, sa = jpll.pll_block_fused(x, st, (p1,))
+        want = ia[..., :-1] * mix * 2.0
+        got, sb = ppll.pll_mixer_fused_pallas(x, mix, st, (p1,),
+                                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        for f in sa._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sa, f)), np.asarray(getattr(sb, f)))
 
     def test_receiver_block_with_pallas_pll(self):
         """pallas_pll alone must leave the receiver block BIT-identical
