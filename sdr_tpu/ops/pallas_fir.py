@@ -62,19 +62,29 @@ def _phase_coeffs(h: jnp.ndarray, decim: int) -> jnp.ndarray:
     return hr.reshape(r_rows, decim)
 
 
-def _auto_tiles(b_pad: int, d_pad: int) -> tuple[int, int]:
-    """Pick (batch tile, lane tile) so all per-step blocks fit the VMEM
-    budget: 2x main tile (double buffering) + the assembled window scratch
-    + halo/out blocks — about ``3*tile + 3*_HALO`` lanes of ``bt*d_pad``
-    sublane rows.  Small batches take the whole batch in one block with
-    the largest lane tile; large batches tile the batch at a fixed
-    1024-lane tile (halo DMA overhead _HALO/tile = 12.5%)."""
-    lanes = _VMEM_BUDGET_BYTES // (b_pad * d_pad * 4)
-    tile = (lanes - 3 * _HALO) // 3 // 128 * 128
-    if tile >= 1024:
-        return b_pad, min(int(tile), 2048)
+def _auto_tiles(b_pad: int, d_pad: int, r_rows: int = 16
+                ) -> tuple[int, int]:
+    """Pick (batch tile, lane tile) so all per-step VMEM fits the budget.
+
+    Two consumers share it: the pipeline blocks (2x main tile for double
+    buffering + window scratch + halo/out, ~``3*tile + 3*_HALO`` lanes of
+    ``bt*d_pad`` sublane rows) AND the kernel's compile-time value stack —
+    the ``phase`` body unrolls ``r_rows`` static-shift FMA temps of
+    (bt, tile) floats each, which Mosaic keeps live in VMEM.  Small-decim
+    modes have LARGE r_rows (ceil(taps/decim): 51 at mode 3's rf_decim=3
+    vs 16 at decim=10), which is exactly what blew the r1-r4 formula's
+    compile at mode 3 (VERDICT r4 #6): it only counted the blocks.  Small
+    batches take the whole batch with the largest lane tile; large
+    batches tile the batch at a fixed 1024-lane tile (halo DMA overhead
+    _HALO/tile = 12.5%)."""
+    def per_row(tile: int) -> int:      # bytes per batch sublane row
+        return 4 * (d_pad * (3 * tile + 3 * _HALO) + (r_rows + 1) * tile)
+
+    for tile in (2048, 1536, 1024):
+        if b_pad * per_row(tile) <= _VMEM_BUDGET_BYTES:
+            return b_pad, tile
     tile = 1024
-    bt = _VMEM_BUDGET_BYTES // (d_pad * 4 * (3 * tile + 3 * _HALO))
+    bt = _VMEM_BUDGET_BYTES // per_row(tile)
     bt = max(8, bt // 8 * 8)
     return min(bt, b_pad), tile
 
@@ -130,7 +140,7 @@ def fir_decim_pallas(xc: jnp.ndarray, h: jnp.ndarray, decim: int,
 
     d_pad = _cdiv(decim, 8) * 8
     b_pad = _cdiv(b, 8) * 8
-    bt_auto, tile_auto = _auto_tiles(b_pad, d_pad)
+    bt_auto, tile_auto = _auto_tiles(b_pad, d_pad, r_rows)
     tile = tile if tile is not None else tile_auto
     bt = b_tile if b_tile is not None else bt_auto
     n_tiles = _cdiv(n_out, tile)
