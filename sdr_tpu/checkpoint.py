@@ -37,7 +37,8 @@ def _flatten_with_paths(state: rx.ReceiverState) -> dict[str, np.ndarray]:
 
 def save(path: str, state: rx.ReceiverState, mode: int | cfg.Mode,
          block_count: int = 0, extra: dict[str, Any] | None = None,
-         host_arrays: dict[str, np.ndarray] | None = None) -> str:
+         host_arrays: dict[str, np.ndarray] | None = None,
+         input_dtype: str | None = None) -> str:
     """Write state + metadata to ``<path>`` (.npz appended if missing);
     returns the path actually written (np.savez appends the extension
     silently, so callers must report THIS name).
@@ -47,21 +48,38 @@ def save(path: str, state: rx.ReceiverState, mode: int | cfg.Mode,
     pending frames: models.rds_decode.StreamingRdsDecoder.state_dict) so
     a resume reproduces the uninterrupted output stream exactly, device
     AND host side.
+
+    ``input_dtype`` ("uint8" / "float32") records what the receiver was
+    fed: the u8 fast path assumes the carried RF tail is 1/128-quantized
+    (models.receiver.process_block state-dtype contract), so resuming a
+    float-produced checkpoint with raw-u8 input would silently corrupt
+    one block — ``load`` refuses the mismatch instead (VERDICT r4 #4).
     """
     if not path.endswith(".npz"):
         path = path + ".npz"
     flat = _flatten_with_paths(state)
     meta = {"mode": int(mode), "block_count": int(block_count),
             "extra": extra or {}}
+    if input_dtype is not None:
+        meta["input_dtype"] = str(np.dtype(input_dtype))
     host = {f"host/{k}": np.asarray(v)
             for k, v in (host_arrays or {}).items()}
     np.savez(path, __meta__=json.dumps(meta), **flat, **host)
     return path
 
 
-def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
+def load(path: str, expect_input_dtype: str | None = None
+         ) -> tuple[rx.ReceiverState, dict[str, Any]]:
     """Read a checkpoint; returns (state, meta).  Host-side arrays saved
-    via ``host_arrays`` come back under ``meta["host_arrays"]``."""
+    via ``host_arrays`` come back under ``meta["host_arrays"]``.
+
+    ``expect_input_dtype``: the dtype the resumed run will feed.  A
+    checkpoint recorded with a different ``input_dtype`` raises
+    ValueError (resuming float-produced state with raw u8 would silently
+    quantize the carried RF tail — the state-dtype contract,
+    models.receiver.process_block); a legacy checkpoint with no record
+    gets a stderr warning plus a direct host-side tail check when the
+    resumed run expects u8."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
@@ -72,6 +90,23 @@ def load(path: str) -> tuple[rx.ReceiverState, dict[str, Any]]:
         batchless = {k: z[k] for k in flat}
         meta["host_arrays"] = {k[len("host/"):]: z[k] for k in z.files
                                if k.startswith("host/")}
+    if expect_input_dtype is not None:
+        expect = str(np.dtype(expect_input_dtype))
+        stored = meta.get("input_dtype")
+        if stored is not None and stored != expect:
+            raise ValueError(
+                f"checkpoint {path} was produced from {stored} input but "
+                f"the resumed run feeds {expect}: the u8 fast path "
+                "requires a 1/128-quantized RF tail, so this resume would "
+                "silently corrupt the stream (models.receiver."
+                "process_block state-dtype contract).  Feed the same "
+                "input dtype, or re-create the checkpoint.")
+        if stored is None and expect == "uint8":
+            import sys
+            print(f"warning: checkpoint {path} predates input-dtype "
+                  "recording; validating the RF tail directly",
+                  file=sys.stderr)
+            rx.validate_u8_rf_state(batchless["rf_i"], batchless["rf_q"])
     leaves = [jax.numpy.asarray(batchless[k]) for k in flat]
     treedef = jax.tree_util.tree_structure(template)
     # tree_flatten_with_path and tree_structure enumerate leaves in the

@@ -121,7 +121,9 @@ def _main_wideband(args) -> int:
     block_count = 0
     if args.resume:
         from sdr_tpu import checkpoint
-        receiver.state, meta = checkpoint.load(args.resume)
+        # the wideband receiver is fed channelized float baseband, not u8
+        receiver.state, meta = checkpoint.load(args.resume,
+                                               expect_input_dtype="float32")
         block_count = meta.get("block_count", 0)
         ha = meta["host_arrays"]
         ch.state = ChannelizerState(fir=jnp.asarray(ha["chan/fir"]),
@@ -194,7 +196,8 @@ def _main_wideband(args) -> int:
         written = checkpoint.save(args.save_state, receiver.state,
                                   args.mode,
                                   block_count=block_count + n_blocks,
-                                  extra=extra, host_arrays=host_arrays)
+                                  extra=extra, host_arrays=host_arrays,
+                                  input_dtype="float32")
         print(f"state saved to {written} "
               f"(block {block_count + n_blocks})", file=sys.stderr)
 
@@ -253,7 +256,10 @@ def main(argv=None) -> int:
     block_count = 0
     if args.resume:
         from sdr_tpu import checkpoint
-        receiver.state, meta = checkpoint.load(args.resume)
+        # this path feeds RAW u8 end to end; refuse float-produced state
+        # (the u8 front-end would silently quantize its RF tail)
+        receiver.state, meta = checkpoint.load(args.resume,
+                                               expect_input_dtype="uint8")
         block_count = meta.get("block_count", 0)
         if with_rds and "rds" in meta.get("extra", {}):
             _warn_algo_mismatch(meta["extra"]["rds"], args.rds_algo)
@@ -293,28 +299,54 @@ def main(argv=None) -> int:
     except Exception:
         source = sio.iter_iq_blocks_raw(in_stream, bs)
 
+    def emit(out) -> None:
+        """Fetch one block's device outputs and write/decode them."""
+        if args.stereo:
+            audio = np.stack([np.asarray(out.left),
+                              np.asarray(out.right)], axis=-1)
+        else:
+            audio = np.asarray(out.mono)
+        if args.wav:
+            wav_writer.write(audio)
+        else:
+            sio.write_pcm(out_stream, audio)
+        if with_rds:
+            for _, off in rds_dec.feed(np.asarray(out.rds_symbols)):
+                if len(first_offsets) < 12:
+                    first_offsets.append(off)
+
     n_blocks = 0
     t0 = time.time()
+    # depth-2 in-flight pipeline (VERDICT r4 #6): dispatch block k+1
+    # BEFORE fetching block k's outputs, so the host-side fetch of k
+    # overlaps the device computing k+1 — sustained throughput is bounded
+    # by device time, not the (tunnel-dependent) dispatch round-trip.
+    # jax dispatch is async, so receiver.process() returns immediately;
+    # the np.asarray fetches in emit() are what synchronize.  This is the
+    # framework's answer to the reference's producer/consumer threads
+    # (src/project.cpp:476-493) on the OUTPUT side; the native BlockReader
+    # already buffers ahead on the input side.
+    pending = None
     try:
         for blk in source:
             out = receiver.process(blk)
-            if args.stereo:
-                audio = np.stack([np.asarray(out.left),
-                                  np.asarray(out.right)], axis=-1)
-            else:
-                audio = np.asarray(out.mono)
-            if args.wav:
-                wav_writer.write(audio)
-            else:
-                sio.write_pcm(out_stream, audio)
-            if with_rds:
-                for _, off in rds_dec.feed(np.asarray(out.rds_symbols)):
-                    if len(first_offsets) < 12:
-                        first_offsets.append(off)
+            if pending is not None:
+                emit(pending)
+            pending = out
             n_blocks += 1
+        if pending is not None:
+            emit(pending)
+            pending = None
     finally:
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
+        # close (header-patch) the wav INSIDE the finally: an exception or
+        # Ctrl-C mid-capture must still rewrite the RIFF/data sizes, else
+        # strict parsers reject the file (ADVICE r4)
+        if wav_writer is not None:
+            wav_writer.close()
+        elif out_stream is not None and out_stream is not sys.stdout.buffer:
+            out_stream.close()
 
     dt = time.time() - t0
     if rds_dec is not None and not args.save_state:
@@ -333,14 +365,10 @@ def main(argv=None) -> int:
             host_arrays = {f"rds/{k}": v for k, v in arrays.items()}
         written = checkpoint.save(args.save_state, receiver.state, args.mode,
                                   block_count=block_count + n_blocks,
-                                  extra=extra, host_arrays=host_arrays)
+                                  extra=extra, host_arrays=host_arrays,
+                                  input_dtype="uint8")
         print(f"state saved to {written} "
               f"(block {block_count + n_blocks})", file=sys.stderr)
-    if args.wav:
-        wav_writer.close()
-    elif out_stream is not sys.stdout.buffer:
-        out_stream.close()
-
     if with_rds and n_blocks:
         # after a resume n_matches is cumulative across the checkpoint but
         # first_offsets only covers this run — label it so the summary is

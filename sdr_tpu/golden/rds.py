@@ -325,7 +325,11 @@ def cdr_tracking_window(win: np.ndarray, sps: int,
     if not st.locked:
         pos, step = phi, float(sps)
         # establish the Manchester pairing parity once, by sign alternation
-        s0 = win[int(round(pos)) % sps::sps]
+        # — on the SAME rounded grid the sampler below uses (no % sps wrap:
+        # _frac_peak can push phi to sps-0.5, which would wrap the vote one
+        # symbol early and invert the pairing for the whole stream,
+        # ADVICE r4)
+        s0 = win[int(round(pos))::sps]
         n2 = (len(s0) - 1) // 2
         alt0 = np.mean(np.sign(s0[0:2 * n2:2]) != np.sign(s0[1:2 * n2:2]))
         alt1 = np.mean(np.sign(s0[1:1 + 2 * n2:2])
@@ -355,11 +359,19 @@ def cdr_tracking_window(win: np.ndarray, sps: int,
     # this window, then carry the overhang to the next window
     j_max = int(np.floor((len(win) - 0.5 - pos) / step))
     idx = np.round(pos + np.arange(j_max + 1) * step).astype(np.int64)
-    idx = idx[(idx >= 0) & (idx < len(win))]
+    # CLAMP rather than filter: round-half-to-even can land exactly on
+    # len(win) (pos + j*step == len-0.5); dropping that sample would
+    # desynchronize the (j_max+1)-based new_pos accounting from the
+    # emitted count and flip the Manchester pairing downstream (ADVICE
+    # r4).  pos >= -0.499 guarantees idx >= 0 already.
+    idx = np.clip(idx, 0, len(win) - 1)
     samples = win[idx] if len(idx) else np.zeros(0, win.dtype)
     new_pos = (pos + (j_max + 1) * step) - len(win)
 
-    if carry is not None and len(samples):
+    if carry is not None:
+        # prepend unconditionally: a zero-sample window (short flush with
+        # large pos) must pass the pending half-pair through, not drop it
+        # (ADVICE r4)
         samples = np.concatenate([[carry], samples])
     n2 = len(samples) // 2
     a, b = samples[0:2 * n2:2], samples[1:2 * n2:2]

@@ -301,6 +301,16 @@ class StreamingRdsDecoder:
         d.sample_buf = np.asarray(arrays.get("sample_buf",
                                              np.zeros(0)), np.float64)
         tr = meta.get("track")
+        if tr is None and "prev_phase" in meta:
+            # pre-r4 checkpoints stored the tracking carry under
+            # 'prev_phase' (different layout): the tracking CDR would
+            # silently re-lock instead of continuing — warn instead of
+            # diverging quietly (ADVICE r4)
+            import sys
+            print("warning: checkpoint carries the legacy 'prev_phase' "
+                  "tracking-CDR state, which this revision cannot resume; "
+                  "the symbol clock will re-lock (a few bits may differ "
+                  "from the uninterrupted stream)", file=sys.stderr)
         d.track_state = (None if tr is None else grds.TrackState(
             pos=float(tr[0]), step=float(tr[1]),
             carry_sym=None if tr[2] is None else float(tr[2]),
