@@ -28,7 +28,7 @@ from sdr_tpu.models import rds_decode, rds_groups  # noqa: E402
 from sdr_tpu.models.receiver import Receiver  # noqa: E402
 from sdr_tpu.utils import metrics, synth  # noqa: E402
 
-LEVELS = (0.0, 0.02, 0.05, 0.1, 0.2, 0.4)
+LEVELS = (0.0, 0.02, 0.05, 0.1, 0.2, 0.4, 0.5, 0.63)
 TONE_L, TONE_R = 800.0, 1500.0
 
 
@@ -58,10 +58,18 @@ def run_level(noise_std: float, duration_s: float = 1.2,
            "separation_db_l": round(float(sep_l), 1),
            "separation_db_r": round(float(sep_r), 1),
            "mono_tone_snr_db": round(float(snr_mono), 1)}
-    for algo, fn in (("robust", rds_decode.decode_robust),
-                     ("reference", rds_decode.decode_reference)):
-        dec = fn(syms.reshape(-1) if algo == "robust" else syms,
-                 mc.rds.sps)
+    decoders = (
+        ("robust", lambda s: rds_decode.decode_robust(
+            s.reshape(-1), mc.rds.sps)),
+        ("reference", lambda s: rds_decode.decode_reference(s, mc.rds.sps)),
+        # burst-<=5 error correction while synchronized (r5; capability
+        # the reference's exact-match framesync lacks): recovers frames
+        # at the noise floor — the frame-recovery threshold extension
+        ("robust_ec", lambda s: rds_decode.decode_robust(
+            s.reshape(-1), mc.rds.sps, error_correction=True)),
+    )
+    for algo, fn in decoders:
+        dec = fn(syms)
         hits, total = metrics.rds_accuracy(dec.info_words,
                                            res.rds_info_bits)
         st = rds_groups.decode_station_from(dec)
@@ -71,6 +79,8 @@ def run_level(noise_std: float, duration_s: float = 1.2,
             "pi_ok": st.pi == 0x54B1,
             "ps_ok": st.ps_name == "TPU8 FM ",
         }
+        if algo == "robust_ec":
+            row[f"rds_{algo}"]["corrected"] = dec.n_corrected
     return row
 
 

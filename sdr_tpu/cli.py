@@ -375,7 +375,9 @@ def main(argv=None) -> int:
         # not misleading (ADVICE r2: cli.py resume summary)
         label = "first this run" if args.resume else "first"
         n_new = rds_dec.n_matches - n_matches_at_start
-        print(f"RDS: {rds_dec.n_matches} frames ({label}: "
+        corr = (f", {rds_dec.n_corrected} error-corrected"
+                if rds_dec.n_corrected else "")
+        print(f"RDS: {rds_dec.n_matches} frames{corr} ({label}: "
               f"{', '.join(first_offsets)}"
               f"{'...' if n_new > len(first_offsets) else ''})",
               file=sys.stderr)

@@ -66,6 +66,10 @@ SYNDROMES = {
 # Canonical RDS block sequence within a group.
 OFFSET_SEQUENCE = ("A", "B", "C", "D")
 
+#: next expected offset word when synchronized (C' substitutes for C in
+#: version-B groups; after either comes D)
+NEXT_OFFSET = {"A": "B", "B": "C", "C": "D", "C_apos": "D", "D": "A"}
+
 
 def gf2_syndrome(bits: np.ndarray) -> np.ndarray:
     """Syndromes of one or many 26-bit windows: (..., 26) @ (26, 10) mod 2.
@@ -75,6 +79,58 @@ def gf2_syndrome(bits: np.ndarray) -> np.ndarray:
     """
     bits = np.asarray(bits, dtype=np.int64)
     return (bits @ PARITY_MATRIX) % 2
+
+
+def _build_correction_table(max_burst: int = 5) -> dict[int, np.ndarray]:
+    """Syndrome -> error-pattern lookup for the RDS block code's design
+    correction capability: any single error burst spanning <= ``max_burst``
+    bits (the shortened cyclic code guarantees distinct syndromes for
+    these — the property the spec's burst-trapping decoder relies on).
+    Patterns are inserted shortest-burst-first; a duplicate syndrome from
+    a longer pattern is dropped (corrections resolve to the most probable
+    error).  26 + 25 + 48 + 92 + 176 = 367 of the 1023 nonzero syndromes
+    become correctable."""
+    tbl: dict[int, np.ndarray] = {}
+    for length in range(1, max_burst + 1):
+        n_inner = length - 2
+        for start in range(0, 26 - length + 1):
+            for inner in range(1 << max(n_inner, 0)):
+                e = np.zeros(26, dtype=np.int64)
+                e[start] = 1
+                e[start + length - 1] = 1
+                for b in range(n_inner):
+                    if (inner >> b) & 1:
+                        e[start + 1 + b] = 1
+                key = int("".join(map(str, gf2_syndrome(e))), 2)
+                tbl.setdefault(key, e)
+    return tbl
+
+
+_CORRECTION_TABLE = _build_correction_table()
+
+
+def correct_block(window: np.ndarray, offset: str
+                  ) -> tuple[np.ndarray, int] | None:
+    """Try to correct one received 26-bit block against ``offset``.
+
+    Returns ``(corrected_window, n_bits_flipped)`` — ``(window, 0)`` for a
+    clean block — or ``None`` when the error is outside the code's
+    burst-<=5 correction capability.  This is capability the reference
+    never had: its framesync requires exact syndrome matches
+    (model/fmSupportLib.py:30-100), dropping every block a real receiver's
+    burst-trapping decoder would save.  Meaningful only in synchronized
+    operation (the caller knows which offset to expect): applied to
+    arbitrary windows it would 'correct' ~36% of random garbage into
+    false blocks, which is why frame acquisition stays exact-match.
+    """
+    window = np.asarray(window, dtype=np.int64)
+    d = gf2_syndrome(window) ^ SYNDROMES[offset]
+    if not d.any():
+        return window, 0
+    e = _CORRECTION_TABLE.get(int("".join(map(str, d)), 2))
+    if e is None:
+        return None
+    return window ^ e, int(e.sum())
 
 
 def sliding_syndromes(bits: np.ndarray) -> np.ndarray:
@@ -129,6 +185,95 @@ def frame_sync(bits: np.ndarray) -> FrameSyncResult:
         consumed = max(0, len(bits) - 25)
     return FrameSyncResult(matches, consumed,
                            matches[-1][1] if matches else "")
+
+
+# ---------------------------------------------------------------------------
+# Frame sync with burst error correction (round 5; exceeds the reference)
+# ---------------------------------------------------------------------------
+
+#: consecutive corrected blocks accepted before an exact match is required
+#: again — bounds the correction table's ~36% (367/1023) false-accept rate
+#: on random windows during an unnoticed sync loss
+MAX_CORRECTION_STREAK = 2
+
+
+@dataclasses.dataclass
+class SyncScanState:
+    """Carry of :func:`frame_sync_ec` across streamed bit chunks."""
+    synced: bool = False
+    expect: str = ""          # expected next offset while synchronized
+    streak: int = 0           # consecutive corrected blocks
+
+
+@dataclasses.dataclass
+class FrameSyncEcResult:
+    #: (start bit index, offset type, corrected 26-bit window, bits flipped)
+    matches: list[tuple[int, str, np.ndarray, int]]
+    consumed: int
+    state: SyncScanState
+
+
+def frame_sync_ec(bits: np.ndarray,
+                  state: SyncScanState | None = None) -> FrameSyncEcResult:
+    """:func:`frame_sync` plus burst error correction while synchronized.
+
+    Acquisition is EXACT-match, identical to :func:`frame_sync` (applying
+    correction to arbitrary windows would sync onto garbage — see
+    :func:`correct_block`).  Once synchronized, a window that fails the
+    exact match is tried against the burst-<=5 correction toward the
+    EXPECTED offset in the A,B,C|C',D sequence — the blocks the
+    reference's exact-match framesync (model/fmSupportLib.py:30-100)
+    drops and a standards-compliant receiver saves.  At most
+    ``MAX_CORRECTION_STREAK`` consecutive corrected blocks are accepted
+    before an exact match is required again; a failed correction drops
+    sync and resumes the bit-by-bit search.
+
+    Streaming-safe: feeding chunks with the carried ``state`` emits the
+    same accepts as one contiguous scan (a failed correction attempt is
+    deterministic, so not re-attempting it on the re-scanned tail cannot
+    change the outcome).
+    """
+    bits = np.asarray(bits, dtype=np.int64)
+    st = dataclasses.replace(state) if state is not None else SyncScanState()
+    synd = sliding_syndromes(bits)
+    keys = list(SYNDROMES.keys())
+    table = np.stack([SYNDROMES[k] for k in keys])
+    eq = (synd[:, None, :] == table[None, :, :]).all(-1)
+    match = np.where(eq.any(1), eq.argmax(1), -1)
+
+    out: list[tuple[int, str, np.ndarray, int]] = []
+    n = 0
+    consumed = -1
+    while n < len(match):
+        m = match[n]
+        if m >= 0:
+            off = keys[m]
+            out.append((n, off, bits[n:n + 26].copy(), 0))
+            n += 26
+            consumed = n
+            st = SyncScanState(True, NEXT_OFFSET[off], 0)
+            continue
+        if st.synced and st.streak < MAX_CORRECTION_STREAK:
+            cands = ((st.expect, "C_apos") if st.expect == "C"
+                     else (st.expect,))
+            hit = None
+            for o in cands:
+                r = correct_block(bits[n:n + 26], o)
+                if r is not None:
+                    hit = (o, r)
+                    break
+            if hit is not None:
+                o, (win, ne) = hit
+                out.append((n, o, win, ne))
+                n += 26
+                consumed = n
+                st = SyncScanState(True, NEXT_OFFSET[o], st.streak + 1)
+                continue
+        st = SyncScanState()
+        n += 1
+    if consumed < 0:
+        consumed = max(0, len(bits) - 25)
+    return FrameSyncEcResult(out, consumed, st)
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ class RdsDecodeResult:
     bits: np.ndarray                      # post-differential-decode bits
     frames: grds.FrameSyncResult
     info_words: np.ndarray                # (n_frames, 16) info bits per match
+    n_corrected: int = 0                  # frames saved by burst correction
 
 
 def _info_words(bits: np.ndarray,
@@ -38,13 +39,17 @@ def _info_words(bits: np.ndarray,
 
 
 def decode_robust(symbols: np.ndarray, sps: int,
-                  window_symbols: int | None = None) -> RdsDecodeResult:
+                  window_symbols: int | None = None,
+                  error_correction: bool = False) -> RdsDecodeResult:
     """Decode a whole soft-symbol stream (concatenated RRC outputs).
 
     ``symbols`` may be (n_blocks, sym_len) stacked scan output or a flat
     stream; blocks are concatenated in time order.  ``window_symbols``
     enables the clock-drift-tracking CDR (golden.rds.cdr_tracking) for
     inputs whose transmit symbol clock drifts against the receiver grid.
+    ``error_correction`` applies the burst-<=5 block correction while
+    frame-synchronized (golden.rds.frame_sync_ec); info words then come
+    from the CORRECTED windows.
     """
     x = np.asarray(symbols).reshape(-1)
     if window_symbols:
@@ -52,6 +57,15 @@ def decode_robust(symbols: np.ndarray, sps: int,
     else:
         manch, _, _ = grds.cdr_robust(x, sps)
     bits = grds.diff_decode(manch)
+    if error_correction:
+        ec = grds.frame_sync_ec(bits)
+        matches = [(p, o) for p, o, _, _ in ec.matches]
+        frames = grds.FrameSyncResult(
+            matches, ec.consumed, matches[-1][1] if matches else "")
+        info = (np.stack([w[:16] for _, _, w, _ in ec.matches])
+                if ec.matches else np.zeros((0, 16), np.int64))
+        return RdsDecodeResult(bits, frames, info,
+                               sum(1 for _, _, _, ne in ec.matches if ne))
     frames = grds.frame_sync(bits)
     return RdsDecodeResult(bits, frames, _info_words(bits, frames))
 
@@ -97,12 +111,21 @@ class StreamingRdsDecoder:
     """
 
     def __init__(self, sps: int, algo: str = "robust",
-                 window_symbols: int = 256, min_est_symbols: int = 200):
+                 window_symbols: int = 256, min_est_symbols: int = 200,
+                 error_correction: bool = True):
         assert algo in ("robust", "reference", "tracking"), algo
         self.sps = int(sps)
         self.algo = algo
         self.window_symbols = int(window_symbols)
         self.min_est_symbols = int(min_est_symbols)
+        # burst-<=5 error correction while frame-synchronized
+        # (golden.rds.frame_sync_ec) — capability the reference's
+        # exact-match framesync lacks.  Never applied on the "reference"
+        # algo, whose contract is upstream parity.
+        self.error_correction = bool(error_correction)
+        self.sync_scan = grds.SyncScanState()
+        self.n_corrected = 0            # blocks saved by correction
+        self.n_corrected_bits = 0       # total bits flipped
         self.block_count = 0
         # frame-sync carry
         self.backlog = np.zeros(0, dtype=np.int64)
@@ -218,18 +241,30 @@ class StreamingRdsDecoder:
                 self.prev_manch = int(manch[-1])
 
         stream = np.concatenate([self.backlog, bits])
-        frames = grds.frame_sync(stream)
+        if self.error_correction and self.algo != "reference":
+            res = grds.frame_sync_ec(stream, self.sync_scan)
+            self.sync_scan = res.state
+            accepted = res.matches
+            consumed = res.consumed
+        else:
+            frames = grds.frame_sync(stream)
+            accepted = [(pos, off, stream[pos:pos + 26], 0)
+                        for pos, off in frames.matches]
+            consumed = frames.consumed
         new: list[tuple[int, str]] = []
-        for pos, off in frames.matches:
+        for pos, off, win, ne in accepted:
             abs_pos = self.backlog_pos + pos
             new.append((abs_pos, off))
             self.pending.append((abs_pos, off,
-                                 stream[pos:pos + 16].copy()))
-        self.n_matches += len(frames.matches)
-        if frames.matches:
-            self.last_offset = frames.matches[-1][1]
-        self.backlog = stream[frames.consumed:]
-        self.backlog_pos += frames.consumed
+                                 np.asarray(win[:16], np.int64).copy()))
+            if ne:
+                self.n_corrected += 1
+                self.n_corrected_bits += ne
+        self.n_matches += len(accepted)
+        if accepted:
+            self.last_offset = accepted[-1][1]
+        self.backlog = stream[consumed:]
+        self.backlog_pos += consumed
         self._drain_groups()
         return new
 
@@ -272,6 +307,11 @@ class StreamingRdsDecoder:
             "sps": self.sps, "algo": self.algo,
             "window_symbols": self.window_symbols,
             "min_est_symbols": self.min_est_symbols,
+            "error_correction": self.error_correction,
+            "sync_scan": [self.sync_scan.synced, self.sync_scan.expect,
+                          self.sync_scan.streak],
+            "n_corrected": self.n_corrected,
+            "n_corrected_bits": self.n_corrected_bits,
             "block_count": self.block_count,
             "backlog_pos": self.backlog_pos,
             "n_matches": self.n_matches, "last_offset": self.last_offset,
@@ -295,7 +335,14 @@ class StreamingRdsDecoder:
                         meta: dict) -> "StreamingRdsDecoder":
         d = cls(meta["sps"], meta["algo"],
                 window_symbols=meta.get("window_symbols", 256),
-                min_est_symbols=meta.get("min_est_symbols", 200))
+                min_est_symbols=meta.get("min_est_symbols", 200),
+                error_correction=meta.get("error_correction", False))
+        ss = meta.get("sync_scan")
+        if ss is not None:
+            d.sync_scan = grds.SyncScanState(bool(ss[0]), str(ss[1]),
+                                             int(ss[2]))
+        d.n_corrected = int(meta.get("n_corrected", 0))
+        d.n_corrected_bits = int(meta.get("n_corrected_bits", 0))
         d.est_buf = np.asarray(arrays.get("est_buf",
                                           np.zeros(0)), np.float64)
         d.sample_buf = np.asarray(arrays.get("sample_buf",
