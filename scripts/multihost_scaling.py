@@ -81,10 +81,13 @@ def worker_main(a: argparse.Namespace) -> None:
 
     # Each process synthesizes only ITS channels (seeded by process id) —
     # on a real deployment each host ingests its own SDR front-ends.
+    # RAW u8 end to end (r5, matching the serving path): the receiver
+    # normalizes on-device, so per-block host/distribution bytes drop 4x
+    # vs the float feed SCALING_r3 measured — per-block host work is the
+    # suspected cause of the raw-gate miss on this 2-core host.
     rng = np.random.default_rng(1000 + a.process_id)
     local_blocks = rng.integers(
-        0, 256, size=(N_BLOCKS, c_local, bs), dtype=np.uint8
-    ).astype(np.float32) / 128.0 - 1.0
+        0, 256, size=(N_BLOCKS, c_local, bs), dtype=np.uint8)
 
     iq_sh = NamedSharding(mesh, P(None, "ch", None))
     iq_dev = jax.make_array_from_process_local_data(iq_sh, local_blocks)
@@ -162,11 +165,14 @@ def worker_time_axis(a: argparse.Namespace) -> None:
     from sdr_tpu.models import receiver as rx
     from sdr_tpu.parallel import multihost, time_shard
 
-    mesh = multihost.make_mesh(time_per_host=a.local_devices)
+    mesh = multihost.make_mesh(time_per_host=a.local_devices,
+                               cross_process_time=a.cross_halo)
     grid = np.asarray(mesh.devices)          # (ch, time)
-    # the layout invariant this worker exists to demonstrate: every
-    # time-axis row lives on ONE process, so halo ppermutes never cross
-    # the process (DCN) boundary
+    # default: every time-axis row lives on ONE process, so halo
+    # ppermutes never cross the process (DCN) boundary.  --cross-halo
+    # transposes the grid so every halo ppermute DOES cross it — the
+    # configuration the policy avoids, validated here for correctness
+    # and costed against the local-halo layout (VERDICT r4 #3).
     halo_intra_process = all(len({d.process_index for d in row}) == 1
                              for row in grid)
 
@@ -177,9 +183,23 @@ def worker_time_axis(a: argparse.Namespace) -> None:
     blocks_per_shard = 6
     n = s_time * blocks_per_shard * block_if * raw_per_if
 
-    rng = np.random.default_rng(2000 + a.process_id)
-    local = (rng.integers(0, 256, size=(1, n), dtype=np.uint8)
-             .astype(np.float32) / 128.0 - 1.0)
+    if a.cross_halo:
+        # time spans the processes: each process holds EVERY channel row
+        # and its own time half, so the channel streams must be globally
+        # consistent — generate from a SHARED seed and slice this
+        # process's time window (process p owns time column p of the
+        # transposed grid)
+        n_ch = int(mesh.shape["ch"])
+        rng = np.random.default_rng(2000)
+        full = (rng.integers(0, 256, size=(n_ch, n), dtype=np.uint8)
+                .astype(np.float32) / 128.0 - 1.0)
+        span = n // a.num_processes
+        local = full[:, a.process_id * span:(a.process_id + 1) * span]
+    else:
+        rng = np.random.default_rng(2000 + a.process_id)
+        local = (rng.integers(0, 256, size=(1, n), dtype=np.uint8)
+                 .astype(np.float32) / 128.0 - 1.0)
+        full = local
     sharding = NamedSharding(mesh, P("ch", "time"))
     iq_global = jax.make_array_from_process_local_data(sharding, local)
 
@@ -203,11 +223,16 @@ def worker_time_axis(a: argparse.Namespace) -> None:
     mono_g = multihost_utils.process_allgather(out.mono, tiled=True)
     fm_g = multihost_utils.process_allgather(out.fm_demod, tiled=True)
     import jax.numpy as jnp
+    # global channel row this process validates: in the default layout
+    # each process contributed row process_id (its local[0]); in cross
+    # mode the rows are the shared-seed channels, validate row process_id
+    # of those (every process has the full series in `full`)
+    row = a.process_id
+    ref_src = full[row] if a.cross_halo else full[0]
     rxr = rx.Receiver(0, stereo=True, with_rds=False)
-    ref = rxr.run(local[0], block_size=block_if * raw_per_if)
+    ref = rxr.run(ref_src, block_size=block_if * raw_per_if)
     ref_mono = np.asarray(ref.mono).reshape(-1)
     ref_fm = np.asarray(ref.fm_demod).reshape(-1)
-    row = a.process_id
     fm_err = float(np.abs(fm_g[row] - ref_fm).max())
     d = np.abs(mono_g[row] - ref_mono)
     mono_rel = float(np.sqrt((d ** 2).mean())
@@ -221,6 +246,7 @@ def worker_time_axis(a: argparse.Namespace) -> None:
         "global_devices": int(jax.device_count()),
         "mesh_shape": {k: int(v) for k, v in mesh.shape.items()},
         "halo_intra_process": bool(halo_intra_process),
+        "cross_halo_requested": bool(a.cross_halo),
         "wall_s": dt,
         "samples_per_s": samples / dt,
         "fm_max_abs_err_vs_contiguous": fm_err,
@@ -232,7 +258,7 @@ def worker_time_axis(a: argparse.Namespace) -> None:
 
 
 def _run_time_axis(n_procs: int, local_devices: int, ncores: int,
-                   timeout_s: float = 900.0) -> dict:
+                   timeout_s: float = 900.0, cross: bool = False) -> dict:
     port = _free_port()
     outdir = tempfile.mkdtemp(prefix="sdr_scaling_time_")
     procs = []
@@ -241,6 +267,8 @@ def _run_time_axis(n_procs: int, local_devices: int, ncores: int,
                "--axis", "time", "--port", str(port),
                "--num-processes", str(n_procs), "--process-id", str(pid),
                "--local-devices", str(local_devices), "--outdir", outdir]
+        if cross:
+            cmd.append("--cross-halo")
         procs.append(subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                                       stderr=subprocess.PIPE, text=True))
     deadline = time.time() + timeout_s
@@ -262,9 +290,12 @@ def _run_time_axis(n_procs: int, local_devices: int, ncores: int,
     return {
         "num_processes": n_procs,
         "local_devices_per_process": local_devices,
+        "cross_halo": cross,
         "mesh_shape": results[0]["mesh_shape"],
         "halo_intra_process": all(r["halo_intra_process"]
                                   for r in results),
+        "halo_confined_to_host": all(r["halo_intra_process"]
+                                     for r in results),
         "wall_s": max(r["wall_s"] for r in results),
         "aggregate_samples_per_s": sum(r["samples_per_s"]
                                        for r in results),
@@ -453,6 +484,19 @@ def orchestrate() -> dict:
     print("[scaling] running 2-process TIME-axis config ...", flush=True)
     report["time_axis_2proc"] = _run_time_axis(2, local_devices=2,
                                                ncores=ncores)
+    # cross-process halo (VERDICT r4 #3): the SAME time-sharded receiver
+    # with the mesh transposed so every halo ppermute crosses the process
+    # boundary — correctness gated identically (fm bit-match), and its
+    # wall vs the local-halo config is the measured cost that justifies
+    # the "halo stays on ICI" layout policy.
+    print("[scaling] running 2-process CROSS-process-halo config ...",
+          flush=True)
+    report["time_axis_2proc_cross_halo"] = _run_time_axis(
+        2, local_devices=2, ncores=ncores, cross=True)
+    loc, cro = (report["time_axis_2proc"],
+                report["time_axis_2proc_cross_halo"])
+    report["cross_halo_slowdown"] = round(
+        cro["wall_s"] / max(loc["wall_s"], 1e-12), 3)
     return report
 
 
@@ -468,7 +512,8 @@ def main(argv=None) -> int:
                     dest="ch_per_proc")
     ap.add_argument("--outdir")
     ap.add_argument("--axis", default="ch", choices=["ch", "time"])
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r3.json"))
+    ap.add_argument("--cross-halo", action="store_true", dest="cross_halo")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r5.json"))
     a = ap.parse_args(argv)
     if a.worker:
         if a.axis == "time":

@@ -37,11 +37,19 @@ def setup(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(time_per_host: Optional[int] = None,
-              ch_axis: str = "ch", time_axis: str = "time"):
+              ch_axis: str = "ch", time_axis: str = "time",
+              cross_process_time: bool = False):
     """Global 2D (channel x time) mesh with time confined to each host.
 
     ``time_per_host`` defaults to the local device count, which keeps every
     halo exchange on ICI; the channel axis then spans hosts over DCN.
+
+    ``cross_process_time`` deliberately TRANSPOSES the layout so every
+    time row spans the processes (each halo ppermute crosses the process
+    — on a pod: DCN — boundary).  This is the configuration the default
+    policy exists to avoid; it is exposed so its correctness can be
+    validated and its cost measured (scripts/multihost_scaling.py
+    time-axis cross config), not for production use.
     """
     import jax
     from jax.sharding import Mesh
@@ -51,4 +59,8 @@ def make_mesh(time_per_host: Optional[int] = None,
         time_per_host = jax.local_device_count()
     assert len(devs) % time_per_host == 0, (len(devs), time_per_host)
     grid = devs.reshape(len(devs) // time_per_host, time_per_host)
+    if cross_process_time:
+        # rows of the default grid are per-process; the transpose makes
+        # each TIME row take one device from every process group
+        grid = grid.T
     return Mesh(grid, (ch_axis, time_axis))

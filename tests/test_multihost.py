@@ -61,6 +61,22 @@ class TestMultiProcessMesh:
         assert r["halo_confined_to_host"]
         assert r["aggregate_samples_per_s"] > 0
 
+    def test_2proc_cross_process_halo(self):
+        """The halo ppermute EXECUTED across the process boundary
+        (VERDICT r4 #3): mesh transposed so every time row spans both
+        processes, and the linear arms still bit-match a contiguous run
+        — the correctness claim behind the 'halo stays on ICI' policy,
+        now validated rather than assumed."""
+        mod = _load()
+        r = mod._run_time_axis(2, local_devices=2,
+                               ncores=os.cpu_count() or 1,
+                               timeout_s=600.0, cross=True)
+        assert r["mesh_shape"] == {"ch": 2, "time": 2}
+        assert not r["halo_intra_process"]      # it really crossed DCN
+        assert r["fm_max_abs_err_vs_contiguous"] == 0.0
+        assert r["mono_rel_rms_vs_contiguous"] < 1e-4
+        assert r["aggregate_samples_per_s"] > 0
+
     def test_2proc_time_axis_sharded_receiver(self):
         """The TIME-SHARDED receiver itself under jax.distributed
         (VERDICT r2 #6): halo ppermute provably intra-process, and the
