@@ -174,6 +174,27 @@ def main() -> None:
         st = st._replace(pilot_pll=pst)
         return st, jnp.sum(nco) + jnp.sum(st_filt) + jnp.sum(fmd)
 
+    def rung_pll_mix(st, blk):
+        """Rung 4c (r5): the mixer-fused PLL kernel in context — the
+        production stereo path up to the finished mixer product (what
+        4b's angle-only kernel + XLA glue used to cost)."""
+        st, fmd, st_filt, pi_filt = bands(st, blk)
+        if sel["pallas_pll"]:
+            from sdr_tpu.ops import pallas_pll as jppll
+            mixers, pst = jppll.pll_mixer_fused_pallas(
+                pi_filt[..., None, :], st_filt[..., None, :],
+                jax.tree.map(lambda l: l[..., None], st.pilot_pll),
+                (rx.pilot_pll_params(mc),))
+            mixer = mixers[..., 0, :]
+            st = st._replace(pilot_pll=jax.tree.map(lambda l: l[..., 0],
+                                                    pst))
+        else:
+            nco, _, pst = pll_single(pi_filt, st.pilot_pll,
+                                     rx.pilot_pll_params(mc))
+            mixer = nco[..., :-1] * st_filt * 2.0
+            st = st._replace(pilot_pll=pst)
+        return st, jnp.sum(mixer) + jnp.sum(fmd)
+
     st0 = rx.init_state(mc, batch_shape=(C,))
     rungs = [
         ("1_frontend", fe_only),
@@ -181,6 +202,7 @@ def main() -> None:
         ("3_mono_only_dag", make_pb(False, False)),
         ("4a_plus_bands", rung_bands),
         ("4b_plus_pilot_pll", rung_pll),
+        ("4c_plus_fused_pll_mixer", rung_pll_mix),
         ("4_stereo_dag", make_pb(True, False)),
     ]
     if with_rds:
