@@ -218,6 +218,12 @@ def _audio_fir(x, h, state, mc: cfg.ModeConfig, mxu: bool = False):
     return fn(x, h, state, mc.audio_decim)
 
 
+#: lane product (channels x PLL arms) at and above which the mixer-fused
+#: PLL kernel beats the angle-only kernel + XLA glue IN CONTEXT (same-
+#: session full-DAG A/B, docs/pll_race_r5.json)
+_FUSED_MIXER_MIN_LANES = 1024
+
+
 def _auto_pallas() -> bool:
     """Pallas PLL is the measured-fastest recurrence on TPU; elsewhere it
     would run under the (slow) interpreter, so default to XLA there."""
@@ -266,7 +272,8 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                   pallas_frontend: bool = False,
                   rds_debug_q: bool = False,
                   pallas_pll: bool = False,
-                  mxu_fir: bool = False
+                  mxu_fir: bool = False,
+                  fused_mixer: bool | None = None
                   ) -> tuple[BlockOutputs, ReceiverState]:
     """One block of the full receiver DAG (pure; jit via make_block_fn).
 
@@ -401,7 +408,20 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
                                               coeffs.rds_carrier,
                                               s.rds_carrier)
 
-    if pallas_pll and not rds_debug_q and (stereo or rds_on):
+    if fused_mixer is None:
+        # Policy from the same-session in-DAG A/B (docs/dag_mixer_ab_r5
+        # .json; the isolated race is NOT predictive in context because
+        # the unfused path's trig/mixer passes fuse into downstream
+        # consumers): fused wins for single-arm DAGs (modes 1/3 stereo,
+        # +11-15% at C=128) and at the full serving lane product
+        # (C>=512 x 2 arms), but LOSES up to 2.3x for two-arm DAGs at
+        # mid-size batches (mode 0, C=128), where materializing the mix
+        # operands into lane layout costs more than the glue it saves.
+        nl = int(np.prod(iq.shape[:-1])) if iq.ndim > 1 else 1
+        k_arms = int(stereo) + int(with_rds and mc.rds is not None)
+        fused_mixer = (k_arms == 1
+                       or nl * k_arms >= _FUSED_MIXER_MIN_LANES)
+    if fused_mixer and pallas_pll and not rds_debug_q and (stereo or rds_on):
         # fully fused PLL + NCO trig + mixer kernel (r5): the NCO arrays
         # never materialize in HBM — the kernel takes each arm's mixer
         # operand lane-aligned with its PLL input and returns the finished
@@ -550,15 +570,15 @@ def process_block_channel_chunked(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
 @functools.partial(jax.jit, static_argnames=("mc", "stereo", "with_rds",
                                              "pallas_frontend",
                                              "rds_debug_q", "pallas_pll",
-                                             "mxu_fir"),
+                                             "mxu_fir", "fused_mixer"),
                    donate_argnames=("state",))
 def _block_step(iq, coeffs, state, mc, stereo, with_rds,
                 pallas_frontend=False, rds_debug_q=False, pallas_pll=False,
-                mxu_fir=False):
+                mxu_fir=False, fused_mixer=None):
     return process_block(iq, coeffs, state, mc, stereo=stereo,
                          with_rds=with_rds, pallas_frontend=pallas_frontend,
                          rds_debug_q=rds_debug_q, pallas_pll=pallas_pll,
-                         mxu_fir=mxu_fir)
+                         mxu_fir=mxu_fir, fused_mixer=fused_mixer)
 
 
 def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
@@ -566,7 +586,8 @@ def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
                   pallas_frontend: bool | None = None,
                   rds_debug_q: bool = False,
                   pallas_pll: bool | None = None,
-                  mxu_fir: bool | None = None):
+                  mxu_fir: bool | None = None,
+                  fused_mixer: bool | None = None):
     """Jitted (iq, coeffs, state) -> (BlockOutputs, state) for one mode.
 
     Kernel selectors default to auto: on TPU the banded-matmul FIRs
@@ -587,7 +608,7 @@ def make_block_fn(mc: cfg.ModeConfig, stereo: bool = True,
     def fn(iq, coeffs, state):
         return _block_step(iq, coeffs, state, mc, stereo, with_rds,
                            pallas_frontend, rds_debug_q, pallas_pll,
-                           mxu_fir)
+                           mxu_fir, fused_mixer)
     return fn
 
 
