@@ -107,6 +107,20 @@ class TestCli:
         assert r1.returncode == 0 and r2.returncode == 0, r2.stderr.decode()
         assert r1.stdout + r2.stdout == full.stdout
 
+    def test_inflight_depth_output_invariant(self, raw_file):
+        """The in-order fetch pipeline (r5) must emit a byte-identical
+        stream at any --inflight depth (ordering is the correctness
+        contract of the overlapped fetches)."""
+        path, _ = raw_file
+        base = self._run(["--mode", "0", "--stereo", path,
+                          "--inflight", "1"])
+        deep = self._run(["--mode", "0", "--stereo", path,
+                          "--inflight", "16"])
+        assert base.returncode == 0 and deep.returncode == 0, \
+            deep.stderr.decode()
+        assert base.stdout == deep.stdout
+        assert len(base.stdout) > 0
+
     def test_pallas_flag_runs_on_cpu(self, raw_file):
         """--pallas auto-selects the interpreter off-TPU, so the flag
         works on every backend."""
