@@ -294,8 +294,6 @@ def _run_time_axis(n_procs: int, local_devices: int, ncores: int,
         "mesh_shape": results[0]["mesh_shape"],
         "halo_intra_process": all(r["halo_intra_process"]
                                   for r in results),
-        "halo_confined_to_host": all(r["halo_intra_process"]
-                                     for r in results),
         "wall_s": max(r["wall_s"] for r in results),
         "aggregate_samples_per_s": sum(r["samples_per_s"]
                                        for r in results),

@@ -215,6 +215,8 @@ def _main_wideband(args) -> int:
         if with_rds:
             dec = rds_decs[k]
             msg += f" | RDS {dec.n_matches} frames"
+            if dec.n_corrected:
+                msg += f" ({dec.n_corrected} corrected)"
             st = dec.station_info()
             if st.n_groups and st.pi is not None:
                 msg += f" PI={st.pi:04X} PS={st.ps_name!r}"
@@ -366,6 +368,15 @@ def main(argv=None) -> int:
         while pending:
             emit(pending.popleft().result())
     finally:
+        # drain blocks that were already computed/fetched before closing
+        # the writers: an interrupt then loses at most the not-yet-
+        # dispatched tail, like the old synchronous loop (guarded so a
+        # wedged device cannot keep the writers open forever)
+        try:
+            while pending:
+                emit(pending.popleft().result(timeout=30))
+        except Exception:
+            pass
         pool.shutdown(wait=False)
         if in_stream is not sys.stdin.buffer:
             in_stream.close()

@@ -256,12 +256,16 @@ def frame_sync_ec(bits: np.ndarray,
         if st.synced and st.streak < MAX_CORRECTION_STREAK:
             cands = ((st.expect, "C_apos") if st.expect == "C"
                      else (st.expect,))
+            # when both C and C' are candidates, keep the MINIMUM-weight
+            # correction: a 1-bit-damaged C' block is also "correctable"
+            # toward C through the burst pattern whose syndrome is
+            # e ^ (S_C ^ S_C') — first-hit-wins silently rewrote such
+            # blocks into bogus C frames with wrong info words
             hit = None
             for o in cands:
                 r = correct_block(bits[n:n + 26], o)
-                if r is not None:
+                if r is not None and (hit is None or r[1] < hit[1][1]):
                     hit = (o, r)
-                    break
             if hit is not None:
                 o, (win, ne) = hit
                 out.append((n, o, win, ne))

@@ -184,7 +184,10 @@ def validate_u8_rf_state(rf_i, rf_q) -> None:
     """
     for name, tail in (("rf_i", rf_i), ("rf_q", rf_q)):
         t = np.asarray(tail, np.float64) * 128.0
-        if not (np.all(t == np.round(t)) and np.all(np.abs(t) <= 128)):
+        # k in [-128, 127]: +128 (state exactly +1.0) is NOT byte-
+        # representable — round(1.0*128)+128 = 256 would overflow u8
+        if not (np.all(t == np.round(t)) and np.all(t >= -128)
+                and np.all(t <= 127)):
             bad = float(np.max(np.abs(t - np.round(t))))
             raise ValueError(
                 f"RF tail state '{name}' is not 1/128-quantized (max "
@@ -248,6 +251,15 @@ def _auto_pallas_frontend() -> bool:
     ``mxu_fir`` (f32 inputs fall through to the banded-matmul path), so
     auto-on is safe for every input dtype."""
     return jax.default_backend() == "tpu"
+
+
+def fused_mixer_policy(batch: int, arms: int) -> bool:
+    """The shape policy ``process_block`` applies when ``fused_mixer`` is
+    None (measured in-context, docs/dag_mixer_ab_r5.json).  Exposed so
+    SHARDED callers — shard_map traces LOCAL shapes — can pin the
+    decision from the GLOBAL shape and keep sharded and contiguous runs
+    on identical kernels (the bit-match invariant's precondition)."""
+    return arms == 1 or batch * arms >= _FUSED_MIXER_MIN_LANES
 
 
 def auto_kernel_selectors() -> dict:
@@ -419,8 +431,7 @@ def process_block(iq: jnp.ndarray, coeffs: ReceiverCoeffs,
         # operands into lane layout costs more than the glue it saves.
         nl = int(np.prod(iq.shape[:-1])) if iq.ndim > 1 else 1
         k_arms = int(stereo) + int(with_rds and mc.rds is not None)
-        fused_mixer = (k_arms == 1
-                       or nl * k_arms >= _FUSED_MIXER_MIN_LANES)
+        fused_mixer = fused_mixer_policy(nl, k_arms)
     if fused_mixer and pallas_pll and not rds_debug_q and (stereo or rds_on):
         # fully fused PLL + NCO trig + mixer kernel (r5): the NCO arrays
         # never materialize in HBM — the kernel takes each arm's mixer

@@ -100,8 +100,13 @@ def time_sharded_receive(iq: np.ndarray, mesh: Mesh,
     # same kernel selection as the contiguous paths (Receiver.run /
     # run_blocks_scan): sharded and contiguous runs must pick IDENTICAL
     # kernels or the bit-match invariant on the linear arms breaks at the
-    # ~2e-5 kernel-vs-kernel level — one shared source of truth
-    sel = rx.auto_kernel_selectors()
+    # ~2e-5 kernel-vs-kernel level — one shared source of truth.  The
+    # shape-dependent fused_mixer choice is pinned from the GLOBAL shape
+    # (shard_map traces local shapes, which would flip it per layout)
+    sel = dict(rx.auto_kernel_selectors())
+    sel["fused_mixer"] = rx.fused_mixer_policy(
+        int(np.prod(iq.shape[:-1])) if iq.ndim > 1 else 1,
+        int(stereo) + int(with_rds and mc.rds is not None))
 
     # only enabled arms are returned — zero-length placeholders cannot carry
     # a sharded PartitionSpec
@@ -220,7 +225,10 @@ def time_sharded_receive_chunked(iq: np.ndarray, mesh: Mesh,
     blocks_per_seg = seg // block_raw
 
     coeffs = rx.design_coeffs(mc)
-    sel = rx.auto_kernel_selectors()
+    sel = dict(rx.auto_kernel_selectors())
+    sel["fused_mixer"] = rx.fused_mixer_policy(
+        int(np.prod(iq.shape[:-1])) if iq.ndim > 1 else 1,
+        int(stereo) + int(with_rds and mc.rds is not None))
     arms = ["fm_demod", "mono"]
     if stereo:
         arms += ["left", "right"]

@@ -99,6 +99,30 @@ class TestFrameSyncEc:
             assert o == off_true
             np.testing.assert_array_equal(win, w_true)
 
+    def test_c_apos_not_miscorrected_to_c(self):
+        """A 1-bit-damaged C' block must come back as C' with ONE flip,
+        not be rewritten into a bogus C block: the error syndrome toward
+        C is d ^ (S_C ^ S_C'), which for several positions is also a
+        correctable burst — minimum-weight candidate selection resolves
+        it (found by the r5 review, verified by execution)."""
+        rng = np.random.default_rng(9)
+        blocks = []
+        for g in range(4):
+            for off in ("A", "B", "C_apos", "D"):    # version-B groups
+                blocks.append((off, synth.rds_encode_block(
+                    rng.integers(0, 2, 16), off)))
+        bits = np.concatenate([b for _, b in blocks])
+        for errbit in range(26):
+            dirty = bits.copy()
+            k = 6                                    # a C' block, synced
+            dirty[k * 26 + errbit] ^= 1
+            ec = grds.frame_sync_ec(dirty)
+            assert len(ec.matches) == len(blocks), errbit
+            p, o, win, ne = ec.matches[k]
+            assert o == "C_apos", (errbit, o)
+            assert ne == 1, (errbit, ne)
+            np.testing.assert_array_equal(win, blocks[k][1])
+
     def test_streak_bounded(self):
         """More than MAX_CORRECTION_STREAK consecutive corrupted blocks:
         the scan must NOT keep correcting blindly."""
