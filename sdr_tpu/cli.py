@@ -153,6 +153,39 @@ def _main_wideband(args) -> int:
     writers = [sio.StreamingWavWriter(f"{args.output}_{k}.wav", mc.audio_fs,
                                       channels=2 if args.stereo else 1)
                for k in range(len(offsets))]
+    import jax.numpy as jnp
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    # same packed-single-fetch + in-order fetch pipeline as the single-
+    # station path (each separate host fetch is a full round trip on the
+    # tunneled dev chip); outputs for ALL stations ride one transfer
+    def pack(out):
+        parts = ([out.left, out.right] if args.stereo else [out.mono])
+        if with_rds:
+            parts.append(out.rds_symbols)
+        return jnp.concatenate(parts, axis=-1)
+
+    sym_len = 0
+
+    def emit(flat: np.ndarray) -> None:
+        if args.stereo:
+            n_a = (flat.shape[-1] - sym_len) // 2
+            audio = np.stack([flat[..., :n_a], flat[..., n_a:2 * n_a]],
+                             axis=-1)
+            rest = flat[..., 2 * n_a:]
+        else:
+            n_a = flat.shape[-1] - sym_len
+            audio, rest = flat[..., :n_a], flat[..., n_a:]
+        for k, w in enumerate(writers):
+            w.write(audio[k])
+        if with_rds:
+            for k, dec in enumerate(rds_decs):
+                dec.feed(rest[k])
+
+    depth = max(1, args.inflight)
+    pool = ThreadPoolExecutor(max_workers=max(2, depth // 2))
+    pending: deque = deque()
     n_blocks = 0
     t0 = time.time()
     try:
@@ -162,19 +195,21 @@ def _main_wideband(args) -> int:
                 break
             out = receiver.process(
                 ch.process(np.frombuffer(raw, dtype=np.uint8)))
-            if args.stereo:
-                audio = np.stack([np.asarray(out.left),
-                                  np.asarray(out.right)], axis=-1)
-            else:
-                audio = np.asarray(out.mono)[..., None]
-            for k, w in enumerate(writers):
-                w.write(audio[k] if args.stereo else audio[k, :, 0])
-            if with_rds:
-                sym = np.asarray(out.rds_symbols)
-                for k, dec in enumerate(rds_decs):
-                    dec.feed(sym[k])
+            if with_rds and not sym_len:
+                sym_len = int(out.rds_symbols.shape[-1])
+            pending.append(pool.submit(np.asarray, pack(out)))
             n_blocks += 1
+            while len(pending) >= depth:
+                emit(pending.popleft().result())
+        while pending:
+            emit(pending.popleft().result())
     finally:
+        try:
+            while pending:
+                emit(pending.popleft().result(timeout=30))
+        except Exception:
+            pass
+        pool.shutdown(wait=False)
         if in_stream is not sys.stdin.buffer:
             in_stream.close()
         for w in writers:
