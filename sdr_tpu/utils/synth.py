@@ -106,40 +106,58 @@ def _int_to_bits(value: int, width: int) -> np.ndarray:
                     dtype=np.int64)
 
 
-def rds_encode_station(station: StationConfig,
-                       n_groups: int) -> tuple[np.ndarray, np.ndarray]:
+def rds_encode_station(station: StationConfig, n_groups: int,
+                       version_b: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Structured RDS groups -> (info_bits (n_groups,4,16), framed_bits).
 
     Schedules the standard acquisition mix: each cycle sends the four 0A
     groups (PS name segments) followed by the 2A groups covering the
     RadioText (terminated with 0x0D), repeating until ``n_groups``.  The
     inverse of models.rds_groups.decode_station.
+
+    ``version_b=True`` appends the IEC 62106 VERSION-B encodings to each
+    cycle (0B/2B: version bit set in block B, the PI code repeated in
+    block 3 under offset C', RadioText 2 chars/group) so the decoder's
+    B-group path is exercised against ground truth.
     """
     ps = station.ps.ljust(8)[:8]
     rt = station.radiotext[:63] + "\r"
     rt = rt + " " * (-len(rt) % 4)
     n_rt = len(rt) // 4
 
-    def b_word(gtype: int, low5: int) -> int:
-        return ((gtype << 12) | (int(station.tp) << 10)
+    def b_word(gtype: int, low5: int, vb: bool = False) -> int:
+        return ((gtype << 12) | (int(vb) << 11) | (int(station.tp) << 10)
                 | ((station.pty & 0x1F) << 5) | (low5 & 0x1F))
 
-    schedule: list[tuple[int, int, int, int]] = []      # (A, B, C, D) words
+    # (A, B, C, D) words + version flag (block-3 offset differs)
+    schedule: list[tuple[tuple[int, int, int, int], bool]] = []
     for addr in range(4):
         d = (ord(ps[2 * addr]) << 8) | ord(ps[2 * addr + 1])
         # block C of 0A carries AF codes; 0xCDCD = "filler" twice
-        schedule.append((station.pi, b_word(0, addr), 0xCDCD, d))
+        schedule.append(((station.pi, b_word(0, addr), 0xCDCD, d), False))
     for addr in range(n_rt):
         seg = rt[4 * addr: 4 * addr + 4]
         c = (ord(seg[0]) << 8) | ord(seg[1])
         d = (ord(seg[2]) << 8) | ord(seg[3])
-        schedule.append((station.pi, b_word(2, addr), c, d))
+        schedule.append(((station.pi, b_word(2, addr), c, d), False))
+    if version_b:
+        for addr in range(4):
+            d = (ord(ps[2 * addr]) << 8) | ord(ps[2 * addr + 1])
+            schedule.append(((station.pi, b_word(0, addr, True),
+                              station.pi, d), True))
+        rt2 = station.radiotext[:31] + "\r"
+        rt2 = rt2 + " " * (-len(rt2) % 2)
+        for addr in range(len(rt2) // 2):
+            d = (ord(rt2[2 * addr]) << 8) | ord(rt2[2 * addr + 1])
+            schedule.append(((station.pi, b_word(2, addr, True),
+                              station.pi, d), True))
 
+    words = [schedule[g % len(schedule)] for g in range(n_groups)]
     info = np.stack([
-        np.stack([_int_to_bits(w, 16)
-                  for w in schedule[g % len(schedule)]])
-        for g in range(n_groups)])
-    blocks = [rds_encode_block(info[g, b], grds.OFFSET_SEQUENCE[b])
+        np.stack([_int_to_bits(w, 16) for w in ws]) for ws, _ in words])
+    offs = lambda vb: ("A", "B", "C_apos" if vb else "C", "D")
+    blocks = [rds_encode_block(info[g, b], offs(words[g][1])[b])
               for g in range(n_groups) for b in range(4)]
     return info, np.concatenate(blocks)
 

@@ -188,6 +188,26 @@ class TestStreamingDecoderEc:
         assert d2.error_correction
         assert d2.sync_scan == dec.sync_scan
 
+    def test_version_b_groups_decode_end_to_end(self):
+        """The synth transmitter's version-B mix (0B/2B: version bit set,
+        PI repeated in block 3 under offset C') decodes to the same
+        station info — closing the ground-truth gap on the decoder's
+        B-group path (it was only ever fed version A)."""
+        from sdr_tpu import config as cfg
+        from sdr_tpu.models import rds_decode
+        st = synth.StationConfig(pi=0x54B1, pty=9, ps="TPU8 FM ",
+                                 radiotext="HELLO TPU!", tp=True)
+        _, framed = synth.rds_encode_station(st, n_groups=24,
+                                             version_b=True)
+        sps = cfg.get_mode_config(0).rds.sps
+        dec = rds_decode.StreamingRdsDecoder(sps, "robust")
+        dec.phase, dec.parity = 0, 0
+        dec._advance(synth.diff_encode(framed))
+        si = dec.station_info()
+        assert si.pi == 0x54B1 and si.ps_name == "TPU8 FM "
+        assert si.radiotext == "HELLO TPU!"
+        assert si.group_counts.get("0B") and si.group_counts.get("2B")
+
     def test_ec_off_matches_reference_behavior(self):
         from sdr_tpu import config as cfg
         from sdr_tpu.models import rds_decode
