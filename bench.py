@@ -99,15 +99,34 @@ def _sync_time(scan_fn, blocks, state, reps=REPS):
 
 def _scan_diff_ms_per_block(rx, mc, coeffs, iq_u8, bs, c, stereo=True,
                             with_rds=True):
+    """Scan-difference per-block device time, gated for plausibility.
+
+    The tunnel's bimodality can flap BETWEEN the N1 and N2 measurements,
+    making t2 - t1 ~ 0 (or negative) and the implied throughput absurd
+    (observed: a 14.7e9 MS/s 'headline').  Gate the difference against a
+    physical floor — the DAG must at least READ the input block from HBM
+    (c*bs bytes at a generous 2 TB/s) — and remeasure both scans when it
+    fails; after MAX_TRIES, return NaN so the caller can skip the row
+    rather than record garbage.
+    """
     import jax  # noqa: F401  (backend must be up)
     state = (rx.init_state(mc) if c == 1
              else rx.init_state(mc, batch_shape=(c,)))
     f1, b1 = _make_scan(rx, mc, coeffs, iq_u8, bs, N1, c, stereo, with_rds)
     f2, b2 = _make_scan(rx, mc, coeffs, iq_u8, bs, N2, c, stereo, with_rds)
-    t1 = _sync_time(f1, b1, state)
-    t2 = _sync_time(f2, b2, state)
+    floor_ms = c * bs / 2e12 * 1e3          # input bytes / 2 TB/s
+    for attempt in range(4):
+        t1 = _sync_time(f1, b1, state)
+        t2 = _sync_time(f2, b2, state)
+        ms = (t2 - t1) / (N2 - N1) * 1e3
+        if ms >= floor_ms:
+            del b1, b2
+            return ms
+        print(f"# implausible scan-diff at C={c} ({ms:.5f} ms < floor "
+              f"{floor_ms:.5f}; tunnel flapped mid-measure), retrying",
+              file=sys.stderr)
     del b1, b2
-    return max((t2 - t1) / (N2 - N1), 1e-9) * 1e3
+    return float("nan")
 
 
 def main() -> None:
@@ -170,9 +189,11 @@ def main() -> None:
 
     # --- single-stream device time (the reference's operating regime) ----
     ms1 = _scan_diff_ms_per_block(rx, mc, coeffs, iq, bs, 1)
-    single_msps = (bs / 2) / ms1 / 1e3
+    single_msps = (bs / 2) / ms1 / 1e3 if np.isfinite(ms1) else 0.0
     detail["single_stream_msps"] = round(single_msps, 1)
-    detail["single_stream_ms_per_block_device"] = round(ms1, 4)
+    detail["single_stream_ms_per_block_device"] = (round(ms1, 4)
+                                                  if np.isfinite(ms1)
+                                                  else None)
     detail["block_iq_pairs"] = bs // 2
     print(f"# single-stream: {single_msps:8.1f} MS/s "
           f"({ms1:.4f} ms/blk device)", file=sys.stderr)
@@ -209,6 +230,10 @@ def main() -> None:
                       file=sys.stderr)
                 break
             raise
+        if not np.isfinite(msc):
+            print(f"# C={c}: no plausible measurement (tunnel flapping); "
+                  "row skipped", file=sys.stderr)
+            continue
         msps = c * (bs / 2) / msc / 1e3
         detail["aggregate_sweep"].append(
             {"channels": c, "msps": round(msps, 1),
@@ -242,18 +267,22 @@ def main() -> None:
                                             with_rds=rds_m)
             ms_mc = _scan_diff_ms_per_block(rx, mcm, cfm, iqm, bsm,
                                             c_mode, with_rds=rds_m)
+        ok1 = ms_m1 is not None and np.isfinite(ms_m1)
         entry = {
-            "single_msps": round((bsm / 2) / ms_m1 / 1e3, 1),
-            "single_ms_per_block_device": round(ms_m1, 4),
+            "single_msps": (round((bsm / 2) / ms_m1 / 1e3, 1)
+                            if ok1 else None),
+            "single_ms_per_block_device": (round(ms_m1, 4)
+                                           if ok1 else None),
             "block_iq_pairs": bsm // 2,
         }
-        if ms_mc:
+        if ms_mc is not None and np.isfinite(ms_mc):
             entry["aggregate_channels"] = c_mode
             entry["aggregate_msps"] = round(
                 c_mode * (bsm / 2) / ms_mc / 1e3, 1)
         detail["modes"][str(m)] = entry
-        print(f"# mode {m}: {entry['single_msps']:8.1f} MS/s single | "
-              f"{entry.get('aggregate_msps', float('nan')):10.1f} MS/s "
+        print(f"# mode {m}: {entry['single_msps'] or float('nan'):8.1f} "
+              "MS/s single | "
+              f"{entry.get('aggregate_msps') or float('nan'):10.1f} MS/s "
               f"at C={c_mode}", file=sys.stderr)
 
     total_s = time.time() - t_wall
